@@ -1,0 +1,29 @@
+"""Runtime configuration.
+
+The reference selects its native layer at compile time via ``cfg(target_arch)``
+(src/lib.rs:10-24); here the equivalent switch is the JAX platform: Pallas
+kernels compile through Mosaic on TPU and fall back to the Pallas interpreter
+elsewhere (how the reference runs its wasm backend under wasmtime in CI).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+#: Force Pallas interpreter mode: True/False, or None for auto (interpret
+#: whenever the default backend is not a real TPU).
+interpret: bool | None = None
+
+#: Default number of needles evaluated per Pallas grid step.
+NEEDLE_BLOCK = 64
+
+
+def use_interpret() -> bool:
+    if interpret is not None:
+        return interpret
+    env = os.environ.get("SLICESLICE_TPU_INTERPRET")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.default_backend() != "tpu"

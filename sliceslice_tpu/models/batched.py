@@ -1,0 +1,195 @@
+"""Batched multi-needle searcher — the flagship workload shape.
+
+The reference searches one needle at a time and amortizes preprocessing
+across haystacks; on TPU the economic unit is the *batch*: N needles scanned
+over a device-resident haystack in kernel sweeps, so the haystack is read
+from HBM once per needle-block instead of once per needle.
+
+Needles are grouped by probe-table width T = ceil(k/4) at construction time
+(the batched generalization of the reference's per-length dispatch family,
+src/x86.rs:397-526): each group runs a straight-line kernel with exactly its
+probe count — no wasted probe slots, no in-kernel branching.  Group results
+are re-scattered to input order on device and fetched with a single
+device-to-host read (readback latency dwarfs any single kernel here).
+
+``find_all(..., early_exit=True)`` restores the economics of the reference's
+first-match early exit (src/lib.rs:242-244) at the scheduling layer: segments
+are scanned in growing chunks and needles drop out of the batch once found —
+a host-side loop, since a jitted grid cannot break.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..needle import MAX_NEEDLE_LEN, as_bytes, build_probe_table, num_probes
+from ..ops import scan_kernel, xla_backend
+from ..ops.layout import DeviceHaystack, preprocess
+from ..ops.scan_math import SENTINEL
+from ..searcher import HaystackLike, _hay_bytes
+
+#: Widths beyond the kernels' unroll limit are bucketed (and must be even —
+#: the long-needle path loops probe *pairs*).
+WIDE_T_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+
+def _t_bucket(t: int) -> int:
+    if t <= scan_kernel.PROBE_UNROLL:
+        return max(t, 1)
+    for b in WIDE_T_BUCKETS:
+        if t <= b:
+            return b
+    raise ValueError(f"needle needs {t} probes > max bucket {WIDE_T_BUCKETS[-1]}")
+
+
+class _Group:
+    """Needles sharing one probe-table width: device-resident tables."""
+
+    def __init__(self, indices: np.ndarray, needles: List[bytes], t: int):
+        self.indices = indices
+        self.t = t
+        vals, msks, lens = build_probe_table(needles, t_max=t)
+        self.lengths = lens
+        self.values_dev = jnp.asarray(vals, jnp.uint32)
+        self.masks_dev = jnp.asarray(msks, jnp.uint32)
+        self.indices_dev = jnp.asarray(indices, jnp.int32)
+        self._ends_cache: dict[int, jnp.ndarray] = {}
+
+    def ends_dev(self, hay_len: int) -> jnp.ndarray:
+        e = self._ends_cache.get(hay_len)
+        if e is None:
+            e = jnp.asarray(
+                np.maximum(hay_len - self.lengths + 1, 0), jnp.int32
+            )
+            self._ends_cache[hay_len] = e
+        return e
+
+
+class BatchedSearcher:
+    def __init__(self, needles: Sequence, position: Optional[int] = None):
+        self.needles = [as_bytes(n) for n in needles]
+        self.max_len = max((len(n) for n in self.needles), default=0)
+        if self.max_len > MAX_NEEDLE_LEN:
+            raise ValueError(f"needle longer than MAX_NEEDLE_LEN={MAX_NEEDLE_LEN}")
+        buckets: dict[int, list[int]] = {}
+        for i, nd in enumerate(self.needles):
+            buckets.setdefault(_t_bucket(max(1, num_probes(len(nd)))), []).append(i)
+        self.groups = [
+            _Group(np.asarray(idx, np.int64), [self.needles[i] for i in idx], t)
+            for t, idx in sorted(buckets.items())
+        ]
+        self.max_t = max((g.t for g in self.groups), default=1)
+        self._base0 = jnp.asarray([0], jnp.int32)
+
+    def __len__(self) -> int:
+        return len(self.needles)
+
+    def _layout(self, hay: HaystackLike) -> DeviceHaystack:
+        # Halo must cover the widest group's probe table.
+        need = max(4 * self.max_t - 1, 3)
+        if isinstance(hay, DeviceHaystack):
+            return hay.ensure_halo(need)
+        return preprocess(_hay_bytes(hay), kh=need)
+
+    def find_all(
+        self,
+        hay: HaystackLike,
+        early_exit: bool = False,
+        first_chunk_segments: int = 1,
+    ) -> np.ndarray:
+        """First-match offset per needle; -1 where absent."""
+        n = len(self.needles)
+        if n == 0:
+            return np.zeros((0,), np.int64)
+        dh = self._layout(hay)
+        if dh.cols is None:
+            parts = [
+                xla_backend.find_batched_flat(
+                    dh.flat,
+                    g.values_dev,
+                    g.masks_dev,
+                    g.ends_dev(dh.length),
+                )
+                for g in self.groups
+            ]
+        elif not early_exit or dh.g == 1:
+            parts = [
+                scan_kernel.batched_find_cols(
+                    dh.cols,
+                    g.values_dev,
+                    g.masks_dev,
+                    g.ends_dev(dh.length),
+                    s=dh.s,
+                    base=self._base0,
+                )
+                for g in self.groups
+            ]
+        else:
+            return self._find_early_exit(dh, first_chunk_segments)
+        firsts = _scatter_groups(
+            n, tuple(g.indices.tobytes() for g in self.groups), parts
+        )
+        out = np.asarray(firsts).astype(np.int64)  # single device->host read
+        out[out >= SENTINEL] = -1
+        return out
+
+    def search_all(self, hay: HaystackLike, **kw) -> np.ndarray:
+        return self.find_all(hay, **kw) >= 0
+
+    def _find_early_exit(
+        self, dh: DeviceHaystack, first_chunk: int
+    ) -> np.ndarray:
+        seg = dh.seg_bytes
+        n = len(self.needles)
+        firsts = np.full((n,), -1, dtype=np.int64)
+        # Per-group remaining sets; scan segment chunks of doubling size.
+        remaining = {id(g): np.arange(len(g.indices)) for g in self.groups}
+        g0 = 0
+        chunk = max(1, first_chunk)
+        while g0 < dh.g and any(r.size for r in remaining.values()):
+            g_pad = 1
+            while g_pad < min(chunk, dh.g - g0):
+                g_pad *= 2
+            g1 = min(dh.g, g0 + g_pad)
+            for grp in self.groups:
+                rem = remaining[id(grp)]
+                if not rem.size:
+                    continue
+                vals = np.asarray(grp.values_dev)[rem]
+                msks = np.asarray(grp.masks_dev)[rem]
+                ends = np.maximum(dh.length - grp.lengths[rem] + 1, 0)
+                sub = np.asarray(
+                    scan_kernel.batched_find_cols(
+                        dh.cols[g0:g1],
+                        vals,
+                        msks,
+                        ends.astype(np.int32),
+                        s=dh.s,
+                        base=g0 * seg,
+                    )
+                )
+                found = sub < SENTINEL
+                firsts[grp.indices[rem[found]]] = sub[found]
+                remaining[id(grp)] = rem[~found]
+            g0 = g1
+            chunk *= 2
+        return firsts
+
+
+@functools.lru_cache(maxsize=64)
+def _scatter_plan(n: int, index_blobs: tuple):
+    order = np.concatenate(
+        [np.frombuffer(b, dtype=np.int64) for b in index_blobs]
+    )
+    return jnp.asarray(order, jnp.int32)
+
+
+def _scatter_groups(n: int, index_blobs: tuple, parts):
+    """Scatter per-group results back to input order, on device."""
+    order = _scatter_plan(n, index_blobs)
+    merged = jnp.concatenate([jnp.asarray(p, jnp.int32) for p in parts])
+    return jnp.zeros((n,), jnp.int32).at[order].set(merged)

@@ -1,0 +1,187 @@
+"""Needle abstraction and probe compilation.
+
+The reference models needles through a ``Needle`` trait whose ``const SIZE``
+lets the verify step specialize at compile time (reference: src/lib.rs:35-117).
+The TPU-native analogue: a :class:`Needle` carries its bytes plus a *probe
+program* — a static list of packed little-endian ``uint32`` window compares
+that together prove an exact match.  A needle of length ``k`` compiles to
+``ceil(k / 4)`` probes:
+
+* full 4-byte windows at offsets ``0, 4, 8, …`` and, when ``k % 4 != 0``, one
+  final overlapping window at offset ``k - 4`` (full mask), or
+* for ``k < 4``, a single masked probe at offset 0 covering ``k`` bytes.
+
+``match[i] == AND_t ((window32(hay, i + off_t) ^ value_t) & mask_t) == 0``
+
+where ``window32(hay, p) = hay[p] | hay[p+1]<<8 | hay[p+2]<<16 | hay[p+3]<<24``.
+
+This replaces the reference's first/last-byte candidate filter + serial
+``memcmp`` verify (src/lib.rs:199-251) with a branch-free, dense formulation
+that runs on the TPU VPU at its native 32-bit lane width — 4x fewer vector ops
+than byte-at-a-time compares, with no data-dependent control flow.
+
+``position`` is kept for API parity with ``with_position`` (reference:
+src/x86.rs:252-255, a DoS-hardening knob choosing the second filter byte).
+Dense evaluation has no data-dependent branching, so the adversarial-input
+slowdown that knob mitigates cannot occur here; the value is validated and
+recorded, and it selects which probe is evaluated first in filtering kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple, Union
+
+import numpy as np
+
+NeedleLike = Union[bytes, bytearray, memoryview, np.ndarray, str]
+
+#: Longest needle supported by the fully generic kernels.  Covers the random
+#: benchmark's largest needle (bench/benches/random.rs:16 uses 1000 bytes)
+#: with 2x headroom; bounded so halo rows + packed-window scratch stay inside
+#: the VMEM budget.
+MAX_NEEDLE_LEN = 2048
+
+
+def as_bytes(needle: NeedleLike) -> bytes:
+    """Normalize any accepted needle type to ``bytes`` (reference: the
+    ``Needle`` impls for arrays/slices/Box/Rc/Arc/Vec, src/lib.rs:43-104)."""
+    if isinstance(needle, str):
+        return needle.encode("utf-8")
+    if isinstance(needle, (bytes, bytearray)):
+        return bytes(needle)
+    if isinstance(needle, memoryview):
+        return needle.tobytes()
+    if isinstance(needle, np.ndarray):
+        if needle.dtype != np.uint8:
+            raise TypeError(f"needle ndarray must be uint8, got {needle.dtype}")
+        return needle.tobytes()
+    raise TypeError(f"unsupported needle type: {type(needle)!r}")
+
+
+def pack_le32(b: bytes) -> int:
+    """Little-endian pack of up to 4 bytes into a uint32."""
+    v = 0
+    for i, byte in enumerate(b[:4]):
+        v |= byte << (8 * i)
+    return v
+
+
+def probe_program(needle: bytes) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+    """Compile a needle into (values, masks) uint32 probe tuples.
+
+    Probe slot ``t`` always compares the 4-byte window at offset ``4*t`` —
+    offsets are *implicit and static per slot*, so kernels use static sublane
+    slices with no per-needle dynamic addressing.  The final probe of a
+    needle whose length is not a multiple of 4 is mask-narrowed to its
+    ``k % 4`` bytes instead of overlapping at ``k - 4``.
+
+    Invariant: a position ``i`` satisfies all probes iff
+    ``hay[i : i + len(needle)] == needle`` (given windows never read past the
+    buffer, which layout padding guarantees; correctness then only requires
+    masking positions to ``i <= len(hay) - len(needle)``).
+    """
+    k = len(needle)
+    if k == 0:
+        return (), ()
+    values = []
+    masks = []
+    for t in range(num_probes(k)):
+        chunk = needle[4 * t : 4 * t + 4]
+        values.append(pack_le32(chunk))
+        masks.append((1 << (8 * len(chunk))) - 1)
+    return tuple(values), tuple(masks)
+
+
+def num_probes(k: int) -> int:
+    """Number of uint32 probes for a needle of length k (= ceil(k/4), min 1)."""
+    if k <= 0:
+        return 0
+    return max(1, -(-k // 4))
+
+
+def needed_halo(k: int) -> int:
+    """Halo bytes a layout must carry for needles of length k: the last probe
+    slot reads packed windows up to row 4*(T-1), whose window spans 3 further
+    bytes.  T is rounded up to even beyond the kernels' unroll width (the
+    pair-looped long-needle path appends a no-op slot)."""
+    if k <= 0:
+        return 3
+    t = num_probes(k)
+    if t > 8 and t % 2:
+        t += 1
+    return max(4 * t - 1, 3)
+
+
+@dataclasses.dataclass(frozen=True)
+class Needle:
+    """A preprocessed needle: bytes + probe program + filter position.
+
+    Mirrors the reference searchers' stored state (needle bytes + the two
+    splatted hash registers, src/lib.rs:161-188) — preprocessing is O(k), done
+    once, and reused across any number of searches.
+    """
+
+    data: bytes
+    position: int  # index of the secondary filter byte; default k-1
+
+    def __init__(self, needle: NeedleLike, position: int | None = None):
+        data = as_bytes(needle)
+        k = len(data)
+        if position is None:
+            # Reference ``new`` uses size-1 (src/x86.rs:281-287); for the
+            # empty needle this wraps and the position assert fires below —
+            # we surface the same contract as an explicit error.
+            position = k - 1
+        if not (0 <= position < k):
+            raise ValueError(
+                f"invalid position {position} for needle of length {k} "
+                "(reference contract: position < needle.size(), src/x86.rs:300)"
+            )
+        if k > MAX_NEEDLE_LEN:
+            raise ValueError(f"needle longer than MAX_NEEDLE_LEN={MAX_NEEDLE_LEN}")
+        object.__setattr__(self, "data", data)
+        object.__setattr__(self, "position", position)
+
+    @property
+    def size(self) -> int:
+        return len(self.data)
+
+    @property
+    def probes(self) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+        return probe_program(self.data)
+
+    def as_array(self) -> np.ndarray:
+        return np.frombuffer(self.data, dtype=np.uint8)
+
+
+def build_probe_table(
+    needles: Sequence[bytes], t_max: int | None = None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch many needles into dense probe tables for the batched kernels.
+
+    Returns ``(values[N, T], masks[N, T], lengths[N])``; slot ``t`` compares
+    the window at static offset ``4*t``.  Inactive probe slots have
+    ``mask == 0`` (and value 0), which makes the probe trivially true — so a
+    single fixed-T kernel evaluates needles of mixed lengths exactly.  This
+    is the batched generalization of the reference's per-length
+    specialization family (src/x86.rs:397-526): instead of 17 enum arms there
+    is one dense table whose rows *are* the specializations.
+    """
+    n = len(needles)
+    if t_max is None:
+        t_max = max((num_probes(len(nd)) for nd in needles), default=1)
+    t_max = max(t_max, 1)
+    values = np.zeros((n, t_max), dtype=np.uint32)
+    masks = np.zeros((n, t_max), dtype=np.uint32)
+    lengths = np.zeros((n,), dtype=np.int32)
+    for i, nd in enumerate(needles):
+        lengths[i] = len(nd)
+        vals, mks = probe_program(nd)
+        if len(vals) > t_max:
+            raise ValueError(
+                f"needle {i} needs {len(vals)} probes > t_max={t_max}"
+            )
+        values[i, : len(vals)] = vals
+        masks[i, : len(mks)] = mks
+    return values, masks, lengths

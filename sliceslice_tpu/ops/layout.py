@@ -1,0 +1,191 @@
+"""Haystack device layout: column-major byte tiles with halo rows.
+
+The reference streams 32-byte SIMD registers over the haystack with a second
+load offset by ``position`` and a masked overlapping tail (src/lib.rs:253-287).
+The TPU re-expression: lay the byte stream out **column-major** over the VPU's
+128 lanes so that a shift of the flat stream becomes a *sublane (row) shift* —
+the only cheap shift direction on TPU:
+
+    cols[g, s, c] = hay[g*SEG + c*S + s]          (SEG = S * 128)
+
+A window starting at flat position ``p = g*SEG + c*S + s`` occupies rows
+``s .. s+k-1`` of column ``c`` — so ``KH = k_max - 1`` extra *halo rows* are
+appended per segment, where ``cols[g, S+t, c] = hay[g*SEG + (c+1)*S + t]``
+(the first rows of the next column; for the last column, the first bytes of
+the next segment).  This plays the role of the reference's overlapping
+``start + position`` load and its masked tail (src/lib.rs:276-283): instead of
+re-loading a full register at ``end - LANES`` with a lane mask, every position
+is evaluated exactly once and invalid positions (``p > len - k``) are masked
+with an iota compare — masking instead of overlapping reads, same semantics
+(``end = len - k + 1``, src/lib.rs:258).
+
+Segments are self-contained (halo included), which makes multi-chip sharding
+embarrassingly parallel: shard the ``g`` axis, no neighbor communication.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANES = 128
+#: Minimum halo rows: the packed-window build reads bytes ``s .. s+3``.
+MIN_KH = 3
+#: Default halo supports needles up to 64 bytes without relayout.
+DEFAULT_KH = 64
+#: Max rows per segment (4096 rows * 128 lanes = 512 KiB).  Sized so the
+#: kernel's packed-window scratch (4 bytes/row-lane) plus temporaries stay
+#: comfortably inside the ~16 MiB VMEM scoped-allocation budget.
+SEG_CAP_ROWS = 4096
+#: Haystacks at or below this many bytes use the flat (non-tiled) XLA path.
+SHORT_HAY_BYTES = 8192
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def plan_layout(length: int, kh: int) -> tuple[int, int]:
+    """Pick (segment_rows S, num_segments G) for a haystack of ``length`` bytes.
+
+    S is bucketed (powers of two of rows for small haystacks, multiples of 512
+    for large ones, always a multiple of 32 to satisfy the int8 (32, 128)
+    sublane tile) so distinct haystack lengths share compiled kernels — the
+    analogue of the reference's haystack-length vector ladder
+    (src/x86.rs:361-375) with buckets instead of register widths.  Large
+    haystacks use balanced segments so trailing-pad waste stays small.
+    """
+    kh_rows = round_up(max(kh, MIN_KH), 32)
+    cap = SEG_CAP_ROWS * LANES
+    if length <= cap:
+        rows = max(32, -(-length // LANES))
+        s = max(32 * next_pow2(-(-rows // 32)), kh_rows)
+        return min(s, SEG_CAP_ROWS), 1
+    g = -(-length // cap)
+    s = max(round_up(-(-length // (g * LANES)), 512), kh_rows)
+    return s, g
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _build_cols(padded: jax.Array, g: int, s: int, kh: int) -> jax.Array:
+    """padded: uint8[(g*s*LANES + kh,)] -> cols uint8[(g, s+kh, LANES)]."""
+    seg = s * LANES
+    base = padded[: g * seg].reshape(g, LANES, s).transpose(0, 2, 1)
+    halo = jnp.roll(base[:, :kh, :], -1, axis=2)
+    ext_idx = (jnp.arange(g)[:, None] + 1) * seg + jnp.arange(kh)[None, :]
+    ext = padded[ext_idx]  # (g, kh)
+    halo = halo.at[:, :, -1].set(ext)
+    return jnp.concatenate([base, halo], axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _pad_flat(arr: jax.Array, lp: int) -> jax.Array:
+    return jnp.pad(arr, (0, lp - arr.shape[0]))
+
+
+@dataclasses.dataclass
+class DeviceHaystack:
+    """A haystack resident on device, preprocessed once and searched many times
+    (the analogue of the reference's mmap-once-scan-often usage,
+    examples/grep.rs:49-50).
+
+    ``cols`` is the tiled layout for the Pallas scan kernels (None for short
+    haystacks); ``flat`` is a zero-padded 1-D uint8 copy for the XLA path.
+    """
+
+    length: int
+    kh: int
+    s: int
+    g: int
+    cols: Optional[jax.Array]  # uint8 (g, s+kh, LANES) or None
+    flat: Optional[jax.Array]  # uint8 (padded_len,) or None
+    host_bytes: Optional[bytes] = None
+
+    @property
+    def seg_bytes(self) -> int:
+        return self.s * LANES
+
+    def supports_needle_len(self, k: int) -> bool:
+        from ..needle import needed_halo
+
+        return needed_halo(k) <= self.kh
+
+    def ensure_halo(self, min_kh: int) -> "DeviceHaystack":
+        """Return a layout with at least ``min_kh`` halo bytes."""
+        if self.cols is None or self.kh >= min_kh:
+            return self
+        if self.host_bytes is None:
+            raise ValueError(
+                f"layout halo kh={self.kh} < required {min_kh} and no host "
+                "bytes retained to rebuild; preprocess with a larger kh"
+            )
+        return preprocess(self.host_bytes, kh=min_kh)
+
+    def ensure_kh(self, k: int) -> "DeviceHaystack":
+        """Return a layout whose halo supports needles of length ``k``."""
+        from ..needle import needed_halo
+
+        return self.ensure_halo(needed_halo(k))
+
+
+def preprocess(
+    hay: Union[bytes, bytearray, memoryview, np.ndarray],
+    kh: int = DEFAULT_KH,
+    keep_host: bool = True,
+    force_cols: bool = False,
+) -> DeviceHaystack:
+    """Build the device layout for a haystack. O(len) once, amortized over all
+    subsequent searches."""
+    if isinstance(hay, np.ndarray):
+        if hay.dtype != np.uint8:
+            raise TypeError(f"haystack ndarray must be uint8, got {hay.dtype}")
+        data = hay.tobytes()
+    else:
+        data = bytes(hay)
+    length = len(data)
+    kh = round_up(max(kh, MIN_KH), 32)
+    arr = np.frombuffer(data, dtype=np.uint8)
+
+    if length <= SHORT_HAY_BYTES and not force_cols:
+        lp = max(128, next_pow2(length))
+        flat = _pad_flat(jnp.asarray(arr), lp)
+        return DeviceHaystack(
+            length=length, kh=kh, s=0, g=0, cols=None, flat=flat,
+            host_bytes=data if keep_host else None,
+        )
+
+    s, g = plan_layout(length, kh)
+    total = g * s * LANES + kh
+    padded = np.zeros((total,), dtype=np.uint8)
+    padded[:length] = arr
+    cols = _build_cols(jnp.asarray(padded), g, s, kh)
+    return DeviceHaystack(
+        length=length, kh=kh, s=s, g=g, cols=cols, flat=None,
+        host_bytes=data if keep_host else None,
+    )
+
+
+def flat_positions(s: int, g_index: int) -> None:
+    """Documentation helper: flat position of (row, lane) in segment g is
+    ``g * s * LANES + lane * s + row``.  Kernels compute this with two
+    broadcasted iotas; kept here as the single source of truth for tests."""
+    raise NotImplementedError("use position_grid")
+
+
+def position_grid(s: int) -> np.ndarray:
+    """int32[(s, LANES)] of flat in-segment positions: pos = lane*s + row."""
+    rows = np.arange(s, dtype=np.int32)[:, None]
+    lanes = np.arange(LANES, dtype=np.int32)[None, :]
+    return lanes * s + rows

@@ -1,0 +1,302 @@
+"""Pallas TPU scan kernels — the native compute tier.
+
+These kernels play the role of the reference's SIMD intrinsic layers
+(src/x86.rs:26-235, src/aarch64.rs:27-174, src/wasm32.rs:7-178) plus the
+generic kernel they feed (``vector_search_in_chunk``/``vector_search_in``,
+src/lib.rs:199-287), re-designed for the TPU VPU:
+
+* haystack segments arrive as column-major (S+KH, 128) uint8 tiles (see
+  ops/layout.py) so flat-stream shifts are sublane shifts;
+* 4-byte little-endian packed windows are built once per segment in VMEM
+  (the haystack is read from HBM once per needle-block pass);
+* needle slot ``t`` compares the packed window at *static* offset ``4*t``
+  (see needle.probe_program) — ``ceil(k/4)`` masked uint32 compares prove an
+  exact match with zero dynamic addressing, no movemask/trailing_zeros
+  serialization, and no data-dependent control flow (which also voids the
+  adversarial-input DoS concern ``with_position`` mitigates in the
+  reference, src/x86.rs:252-255);
+* invalid positions are masked by iota compare against ``end = len - k + 1``
+  (replacing the reference's overlapping tail trick, src/lib.rs:276-283);
+* grid = (needle-blocks, segments) with segments innermost so per-needle
+  first-offset accumulation stays resident in the output block (revisited
+  blocks are only valid with the accumulation dim innermost), while segment
+  DMA double-buffers against compute;
+* inside a grid step: row-chunk loop outermost (one aligned slab load shared
+  by the whole needle block), needles innermost.
+
+Outputs are per-needle first-match offsets (int32, SENTINEL when absent) —
+a strict superset of the reference's bool ``search_in``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import config
+from .scan_math import SENTINEL, first_offset, lane_first_offset, packed_windows
+
+LANES = 128
+
+#: Row-chunk height for probe evaluation (bounds live VMEM temporaries).
+CHUNK_ROWS = 512
+
+#: Probe-table widths up to this are fully unrolled against a shared slab;
+#: wider tables (long needles) loop probe pairs with pre-shifted scratch.
+PROBE_UNROLL = 8
+
+
+@functools.lru_cache(maxsize=256)
+def _batched_call(
+    g: int,
+    h: int,
+    s: int,
+    t: int,
+    nblk: int,
+    n_pad: int,
+    interpret: bool,
+):
+    """Build the batched scan pallas_call for (values, masks) probe tables of
+    width ``t`` (slot offsets are static: 4*t)."""
+    seg = s * LANES
+    cs = min(s, CHUNK_ROWS)
+    n_chunks = s // cs
+    # Rows of packed windows the last probe slot may touch beyond a chunk.
+    slab_extra = 4 * (t - 1)
+    unrolled = t <= PROBE_UNROLL
+    if not unrolled and t % 2:
+        raise ValueError("probe widths beyond PROBE_UNROLL must be even")
+
+    def kernel(val_ref, msk_ref, base_ref, cols_ref, out_ref, p_scr, p4_scr):
+        gi = pl.program_id(1)
+
+        # Build packed 4-byte windows for this segment (runs once per grid
+        # step; amortized over the nblk needles scanned below).
+        p_scr[:] = packed_windows(cols_ref[0])
+        if not unrolled:
+            # +4-row pre-shifted copy so the probe loop below can step in
+            # 8-row (one uint32 sublane tile) strides with both probes of a
+            # pair reading sublane-aligned slices.
+            p4_scr[:] = p_scr[4 : 4 + (h - 7), :]
+
+        seg_base = base_ref[0] + gi * seg
+        # Hoisted per-step position plane: global offset of (row, lane) in
+        # chunk 0 of this segment.  Matches are NOT masked against end here;
+        # min over all matches is exact because invalid "matches" can only
+        # lie at positions >= end, filtered once outside the kernel.
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 1)
+        gpos0 = lane_i * s + row_i + seg_base
+
+        def needle_body(n, carry):
+            if unrolled:
+                vals = [val_ref[n, ti] for ti in range(t)]
+                msks = [msk_ref[n, ti] for ti in range(t)]
+
+            def chunk_body(ci, mins):
+                row0 = pl.multiple_of(ci * cs, cs)
+                if unrolled:
+                    # Straight-line unrolled probes — no per-slot branches
+                    # (scf.cond with vector results forces register spills);
+                    # mixed-length batches are instead split into exact-width
+                    # groups by the callers.
+                    slab = p_scr[pl.ds(row0, cs + slab_extra), :]
+                    acc = ((slab[0:cs, :] ^ vals[0]) & msks[0]) == 0
+                    for ti in range(1, t):
+                        eq = (
+                            (slab[4 * ti : 4 * ti + cs, :] ^ vals[ti])
+                            & msks[ti]
+                        ) == 0
+                        acc = jnp.logical_and(acc, eq)
+                else:
+                    # Long needles: loop probe pairs; offsets stay 8-aligned.
+                    # The accumulator is carried as uint32 — Mosaic mislays
+                    # large i1 vectors carried through scf loops.
+                    def probe_pair(j, acc_c):
+                        off = pl.multiple_of(row0 + 8 * j, 8)
+                        eq0 = (
+                            (p_scr[pl.ds(off, cs), :] ^ val_ref[n, 2 * j])
+                            & msk_ref[n, 2 * j]
+                        ) == 0
+                        eq4 = (
+                            (p4_scr[pl.ds(off, cs), :] ^ val_ref[n, 2 * j + 1])
+                            & msk_ref[n, 2 * j + 1]
+                        ) == 0
+                        both = jnp.logical_and(eq0, eq4)
+                        return acc_c & both.astype(jnp.uint32)
+
+                    acc_u = jax.lax.fori_loop(
+                        0, t // 2, probe_pair, jnp.ones((cs, LANES), jnp.uint32)
+                    )
+                    acc = acc_u != 0
+                gpos = jnp.where(acc, gpos0 + row0, SENTINEL)
+                return jnp.minimum(mins, jnp.min(gpos, axis=0, keepdims=True))
+
+            mins = jax.lax.fori_loop(
+                0, n_chunks, chunk_body,
+                jnp.full((1, LANES), SENTINEL, dtype=jnp.int32),
+            )
+            prev = jnp.where(
+                gi == 0, jnp.int32(SENTINEL), out_ref[n, :].reshape(1, LANES)
+            )
+            out_ref[n, :] = jnp.minimum(prev, mins).reshape(LANES)
+            return carry
+
+        jax.lax.fori_loop(0, nblk, needle_body, 0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_pad // nblk, g),
+        in_specs=[
+            pl.BlockSpec((nblk, t), lambda nb, gi: (nb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nblk, t), lambda nb, gi: (nb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda nb, gi: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, h, LANES), lambda nb, gi: (gi, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (nblk, LANES), lambda nb, gi: (nb, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((h - 3, LANES), jnp.uint32),
+            pltpu.VMEM((h - 7 if not unrolled else 8, LANES), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+
+    # One fused device program: kernel + cross-lane min + end filter — a
+    # single dispatch per search call (dispatch latency matters more than any
+    # single pass here).
+    @jax.jit
+    def run(values, masks, ends, base, cols):
+        out = call(values, masks, base, cols)
+        first = jnp.min(out, axis=-1)
+        return jnp.where(first < ends, first, SENTINEL)
+
+    return run
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@jax.jit
+def _lane_reduce(out):
+    return jnp.min(out, axis=-1)
+
+
+def batched_find_cols(
+    cols: jax.Array,
+    values: np.ndarray,
+    masks: np.ndarray,
+    ends: np.ndarray,
+    s: int,
+    base: int | jax.Array = 0,
+    nblk: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """First-match offsets (int32[N], SENTINEL when absent) of N needles over
+    the tiled haystack.  ``base`` is added to all reported offsets (global
+    offset of this shard's first byte, for the distributed scanner)."""
+    g, h, lanes = cols.shape
+    assert lanes == LANES
+    n, t = values.shape
+    if t > PROBE_UNROLL and t % 2:
+        # Pair-looped path needs an even width; a mask-0 slot is a no-op.
+        values = np.pad(np.asarray(values), ((0, 0), (0, 1)))
+        masks = np.pad(np.asarray(masks), ((0, 0), (0, 1)))
+        t += 1
+    # Probe slots must fit the layout halo: last slot reads rows 4*(t-1)..+3.
+    assert 4 * t - 1 <= h - s + 0, (
+        f"probe table width {t} needs {4 * t - 1} halo bytes, layout has {h - s}"
+    )
+    nblk = nblk or min(config.NEEDLE_BLOCK, _round_up(n, 8))
+    n_pad = _round_up(n, nblk)
+    values = jnp.asarray(values, jnp.uint32)
+    masks = jnp.asarray(masks, jnp.uint32)
+    ends = jnp.asarray(ends, jnp.int32)
+    if n_pad != n:
+        pad = ((0, n_pad - n), (0, 0))
+        values = jnp.pad(values, pad)
+        masks = jnp.pad(masks, pad)  # mask=0 -> probe always true
+        ends = jnp.pad(ends, ((0, n_pad - n),))  # end=0 -> no valid
+    if interpret is None:
+        interpret = config.use_interpret()
+    run = _batched_call(g, h, s, t, nblk, n_pad, interpret)
+    if isinstance(base, (int, np.integer)):
+        base = jnp.asarray([base], jnp.int32)
+    out = run(values, masks, ends, base.reshape(1), cols)
+    return out[:n]
+
+
+@functools.lru_cache(maxsize=64)
+def _memchr_call(g: int, h: int, s: int, interpret: bool):
+    """1-byte-needle kernel: a single widened lane compare per position — the
+    ``MemchrSearcher`` analogue (reference src/lib.rs:119-142), reading the
+    raw byte tile with no window packing."""
+    seg = s * LANES
+
+    def kernel(byte_ref, end_ref, base_ref, cols_ref, out_ref):
+        gi = pl.program_id(0)
+        seg_base = base_ref[0] + gi * seg
+        # Mosaic on v5e has no native 8-bit vector compare; widen to int32.
+        tile = cols_ref[0, :s, :].astype(jnp.int32)
+        match = tile == byte_ref[0]
+        lane_min = lane_first_offset(match, end_ref[0] - seg_base, s, 0, seg_base)
+        prev = jnp.where(
+            gi == 0, jnp.int32(SENTINEL), out_ref[0, :].reshape(1, LANES)
+        )
+        out_ref[0, :] = jnp.minimum(prev, lane_min).reshape(LANES)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda gi: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda gi: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda gi: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, h, LANES), lambda gi: (gi, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, LANES), lambda gi: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )
+
+
+def memchr_find_cols(
+    cols: jax.Array,
+    byte: int,
+    end: int,
+    s: int,
+    base: int | jax.Array = 0,
+    interpret: bool | None = None,
+) -> jax.Array:
+    g, h, lanes = cols.shape
+    assert lanes == LANES
+    if interpret is None:
+        interpret = config.use_interpret()
+    call = _memchr_call(g, h, s, interpret)
+    out = call(
+        jnp.asarray([byte], jnp.int32),
+        jnp.asarray([end], jnp.int32),
+        jnp.asarray([base], jnp.int32),
+        cols,
+    )
+    return _lane_reduce(out)[0]

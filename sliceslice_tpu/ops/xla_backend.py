@@ -1,0 +1,118 @@
+"""Portable XLA (non-Pallas) search paths.
+
+The role of the reference's portable ``StdSimdSearcher`` (src/stdsimd.rs) —
+one algorithm expressed through the compiler's portable vector model, running
+on any JAX backend (CPU/TPU), used both as the short-haystack rung of the
+dispatch ladder and as a differential-testing reference for the Pallas
+kernels (the way the reference tests wasm under wasmtime, check.yml).
+
+Probe slot ``t`` compares the packed 4-byte window at static offset ``4*t``
+(see needle.probe_program).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .scan_math import SENTINEL, first_offset, packed_windows, probe_acc, value_slicer
+
+
+@jax.jit
+def _find_flat_impl(flat, values, masks, end):
+    """flat: uint8[(Lp,)]; values/masks: [(T,)]; end scalar -> first offset."""
+    h = flat.astype(jnp.uint32)
+    p = (
+        h
+        | (jnp.roll(h, -1) << 8)
+        | (jnp.roll(h, -2) << 16)
+        | (jnp.roll(h, -3) << 24)
+    )
+    lp = flat.shape[0]
+    acc = None
+    for t in range(values.shape[0]):
+        pt = jnp.roll(p, -4 * t) if t else p
+        eq = ((pt ^ values[t]) & masks[t]) == 0
+        acc = eq if acc is None else jnp.logical_and(acc, eq)
+    idx = jnp.arange(lp, dtype=jnp.int32)
+    valid = jnp.logical_and(acc, idx < end)
+    return jnp.min(jnp.where(valid, idx, SENTINEL))
+
+
+def find_flat(flat, values, masks, end):
+    """First match offset (or SENTINEL) of one probe program over a flat
+    zero-padded uint8 haystack.  Wrap-around from the rolls only touches
+    positions masked by ``end``, so semantics are exact."""
+    return _find_flat_impl(
+        flat,
+        jnp.asarray(values, jnp.uint32),
+        jnp.asarray(masks, jnp.uint32),
+        jnp.asarray(end, jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _find_cols_impl(cols, values, masks, end, s):
+    seg = s * 128
+    t_num = values.shape[0]
+
+    def body(g, best):
+        tile = jax.lax.dynamic_index_in_dim(cols, g, axis=0, keepdims=False)
+        p = packed_windows(tile)
+        probes = [(4 * t, values[t], masks[t]) for t in range(t_num)]
+        acc = probe_acc(value_slicer(p, s), probes)
+        fl = first_offset(acc, end - g * seg, s)
+        fg = jnp.where(fl < SENTINEL, fl + g * seg, SENTINEL)
+        return jnp.minimum(best, fg)
+
+    return jax.lax.fori_loop(0, cols.shape[0], body, jnp.int32(SENTINEL))
+
+
+def find_cols(cols, values, masks, end, s: int):
+    """First match over the tiled (G, S+KH, 128) column layout — same math as
+    the Pallas kernel, expressed as plain XLA."""
+    return _find_cols_impl(
+        cols,
+        jnp.asarray(values, jnp.uint32),
+        jnp.asarray(masks, jnp.uint32),
+        jnp.asarray(end, jnp.int32),
+        s,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _find_batched_cols_impl(cols, values, masks, ends, s):
+    def one(vals, msks, end):
+        return _find_cols_impl(cols, vals, msks, end, s)
+
+    return jax.vmap(one)(values, masks, ends)
+
+
+def find_batched_cols(cols, values, masks, ends, s: int):
+    """Vectorized multi-needle variant (N, T) tables -> (N,) first offsets."""
+    return _find_batched_cols_impl(
+        cols,
+        jnp.asarray(values, jnp.uint32),
+        jnp.asarray(masks, jnp.uint32),
+        jnp.asarray(ends, jnp.int32),
+        s,
+    )
+
+
+@jax.jit
+def _find_batched_flat_impl(flat, values, masks, ends):
+    def one(vals, msks, end):
+        return _find_flat_impl(flat, vals, msks, end)
+
+    return jax.vmap(one)(values, masks, ends)
+
+
+def find_batched_flat(flat, values, masks, ends):
+    return _find_batched_flat_impl(
+        flat,
+        jnp.asarray(values, jnp.uint32),
+        jnp.asarray(masks, jnp.uint32),
+        jnp.asarray(ends, jnp.int32),
+    )

@@ -1,0 +1,132 @@
+"""Searcher base machinery: preprocess a needle once, search many haystacks.
+
+API parity with the reference searcher objects (src/x86.rs:266-526):
+
+* ``Searcher(needle)`` / ``Searcher.with_position(needle, position)``;
+* ``search_in(haystack) -> bool`` — any-match;
+* ``find(haystack) -> Optional[int]`` — first-match offset (superset required
+  by this build's conformance target);
+* ``inlined_search_in`` — alias kept for parity (the reference's variant only
+  differs by #[inline], src/lib.rs:128-136);
+* empty needles are rejected by concrete searchers (the reference's
+  ``assert!(position < size)`` panics, src/x86.rs:300) and handled by the
+  dynamic dispatcher's N0 arm (src/x86.rs:470,500).
+
+Haystacks may be bytes-like or a preprocessed
+:class:`~sliceslice_tpu.ops.layout.DeviceHaystack` (preprocess once, search
+many needles — the mmap-analogue usage of examples/grep.rs).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+
+from .needle import Needle, NeedleLike, as_bytes, needed_halo
+from .ops.layout import SHORT_HAY_BYTES, DeviceHaystack, preprocess
+from .ops.scan_math import SENTINEL
+
+HaystackLike = Union[bytes, bytearray, memoryview, np.ndarray, str, DeviceHaystack]
+
+
+def _hay_bytes(hay: HaystackLike) -> bytes:
+    if isinstance(hay, str):
+        return hay.encode("utf-8")
+    if isinstance(hay, np.ndarray):
+        if hay.dtype != np.uint8:
+            raise TypeError(f"haystack ndarray must be uint8, got {hay.dtype}")
+        return hay.tobytes()
+    return bytes(hay)
+
+
+class SearcherBase:
+    """Common contract: validation, trivial-length short-circuits, and the
+    bytes/DeviceHaystack plumbing. Subclasses implement ``_find_device``."""
+
+    def __init__(self, needle: NeedleLike, position: Optional[int] = None):
+        self.needle = Needle(needle, position)
+
+    @classmethod
+    def with_position(cls, needle: NeedleLike, position: int):
+        """Reference ``with_position`` (src/x86.rs:296-316)."""
+        return cls(needle, position)
+
+    @property
+    def size(self) -> int:
+        return self.needle.size
+
+    @property
+    def position(self) -> int:
+        return self.needle.position
+
+    # -- public API ---------------------------------------------------------
+
+    def search_in(self, hay: HaystackLike) -> bool:
+        return self.find(hay) is not None
+
+    #: #[inline] variant kept for API parity (reference src/x86.rs:353-356).
+    inlined_search_in = search_in
+
+    def find(self, hay: HaystackLike) -> Optional[int]:
+        k = self.needle.size
+        if isinstance(hay, DeviceHaystack):
+            if hay.length <= k:
+                return self._trivial_find(self._host_bytes_of(hay), k)
+            off = int(self._find_device(hay))
+            return None if off >= SENTINEL else off
+        data = _hay_bytes(hay)
+        if len(data) <= k:
+            return self._trivial_find(data, k)
+        dh = self._layout(data)
+        off = int(self._find_device(dh))
+        return None if off >= SENTINEL else off
+
+    # -- helpers ------------------------------------------------------------
+
+    def _trivial_find(self, data: bytes, k: int) -> Optional[int]:
+        # hay shorter than needle -> no match; equal length -> whole-slice
+        # equality (reference src/x86.rs:356-359).
+        if data is None:
+            raise ValueError(
+                "DeviceHaystack shorter than needle requires host bytes "
+                "(preprocess with keep_host=True)"
+            )
+        if len(data) < k:
+            return None
+        return 0 if data == self.needle.data else None
+
+    @staticmethod
+    def _host_bytes_of(dh: DeviceHaystack) -> Optional[bytes]:
+        return dh.host_bytes
+
+    def _layout(self, data: bytes) -> DeviceHaystack:
+        return preprocess(data, kh=needed_halo(self.needle.size))
+
+    def _find_device(self, dh: DeviceHaystack):
+        raise NotImplementedError
+
+    def __repr__(self):
+        return (
+            f"{type(self).__name__}(needle={self.needle.data!r}, "
+            f"position={self.needle.position})"
+        )
+
+
+class EmptyNeedleSearcher:
+    """N0 arm: the empty needle matches every haystack at offset 0
+    (reference src/x86.rs:470,500). Only reachable via dynamic dispatch."""
+
+    size = 0
+    position = 0
+
+    def search_in(self, hay: HaystackLike) -> bool:
+        return True
+
+    inlined_search_in = search_in
+
+    def find(self, hay: HaystackLike) -> Optional[int]:
+        return 0
+
+    def __repr__(self):
+        return "EmptyNeedleSearcher()"
