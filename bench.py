@@ -1,0 +1,76 @@
+"""Headline benchmark: the i386 long-haystack sweep (BASELINE.md).
+
+Every one of the 4,585 dictionary words searched over the 857,425-byte Intel
+80386 manual — the reference's long-haystack criterion bench
+(bench/benches/i386.rs:157-284, README table row "sliceslice ... long
+haystack": 35.181 ms on an i7-6700).  Metric: effective scan throughput =
+needles x haystack_bytes / wall seconds, GB/s per chip.  vs_baseline is the
+ratio against the reference's implied effective throughput
+(4,585 x 857,425 B / 35.181 ms = 111.7 GB/s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+#: Reference long-haystack sweep: 35.181 ms criterion estimate (README.md:38).
+REFERENCE_SWEEP_S = 0.035181
+
+
+def main():
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    import sliceslice_tpu as st
+
+    hay = open("data/i386.txt", "rb").read()
+    words = [w for w in open("data/words.txt", "rb").read().split(b"\n") if w]
+    if not on_tpu:
+        # Interpreter fallback (no chip): tiny slice so the line still prints.
+        hay = hay[: 64 * 1024]
+        words = words[:64]
+
+    dh = st.preprocess(hay, kh=24)
+    bs = st.BatchedSearcher(words)
+
+    # Correctness gate first: the number is meaningless if parity fails.
+    got = bs.find_all(dh)
+    exp = np.array([hay.find(w) for w in words])
+    if not (got == (np.where(exp < 0, -1, exp))).all():
+        print(json.dumps({"metric": "FAILED_CONFORMANCE", "value": 0.0,
+                          "unit": "GB/s", "vs_baseline": 0.0}))
+        sys.exit(1)
+
+    from sliceslice_tpu.utils.profiling import measure
+
+    total_bytes = len(words) * len(hay)
+    m = measure(
+        lambda: bs.find_all(dh),
+        name="i386-long-sweep",
+        warmup=2,
+        samples=7,
+        bytes_processed=total_bytes,
+    )
+    print(m.summary(), file=sys.stderr)
+
+    value = m.gbps("estimate")
+    reference_gbps = (4585 * 857425) / REFERENCE_SWEEP_S / 1e9
+    print(
+        json.dumps(
+            {
+                "metric": "effective GB/s/chip, i386 long-haystack sweep "
+                "(4585 words x 857KB, first-offset parity enforced)",
+                "value": round(value, 2),
+                "unit": "GB/s",
+                "vs_baseline": round(value / reference_gbps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -145,6 +145,7 @@ def preprocess(
     kh: int = DEFAULT_KH,
     keep_host: bool = True,
     force_cols: bool = False,
+    seg_rows: Optional[int] = None,
 ) -> DeviceHaystack:
     """Build the device layout for a haystack. O(len) once, amortized over all
     subsequent searches."""
@@ -166,7 +167,13 @@ def preprocess(
             host_bytes=data if keep_host else None,
         )
 
-    s, g = plan_layout(length, kh)
+    if seg_rows is not None:
+        # Explicit segment size (sharding tests / dryruns): multiple of 32,
+        # large enough for the halo.
+        s = max(round_up(seg_rows, 32), round_up(max(kh, MIN_KH), 32))
+        g = max(1, -(-length // (s * LANES)))
+    else:
+        s, g = plan_layout(length, kh)
     total = g * s * LANES + kh
     padded = np.zeros((total,), dtype=np.uint8)
     padded[:length] = arr

@@ -52,7 +52,7 @@ PROBE_UNROLL = 8
 
 
 @functools.lru_cache(maxsize=256)
-def _batched_call(
+def _raw_batched_call(
     g: int,
     h: int,
     s: int,
@@ -61,8 +61,13 @@ def _batched_call(
     n_pad: int,
     interpret: bool,
 ):
-    """Build the batched scan pallas_call for (values, masks) probe tables of
-    width ``t`` (slot offsets are static: 4*t)."""
+    """Build the bare batched scan pallas_call:
+    (values[n_pad,t]u32, masks[n_pad,t]u32, base[1]i32, cols[g,h,128]u8)
+    -> lane-min offsets [n_pad, LANES] i32 (end mask NOT applied).
+
+    Exposed raw so the distributed scanner can call it inside shard_map with
+    a per-shard ``base``; probe tables use width ``t`` with static slot
+    offsets 4*t."""
     seg = s * LANES
     cs = min(s, CHUNK_ROWS)
     n_chunks = s // cs
@@ -149,7 +154,7 @@ def _batched_call(
 
         jax.lax.fori_loop(0, nblk, needle_body, 0)
 
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_pad // nblk, g),
         in_specs=[
@@ -174,9 +179,22 @@ def _batched_call(
         interpret=interpret,
     )
 
-    # One fused device program: kernel + cross-lane min + end filter — a
-    # single dispatch per search call (dispatch latency matters more than any
-    # single pass here).
+
+@functools.lru_cache(maxsize=256)
+def _batched_call(
+    g: int,
+    h: int,
+    s: int,
+    t: int,
+    nblk: int,
+    n_pad: int,
+    interpret: bool,
+):
+    """One fused device program: kernel + cross-lane min + end filter — a
+    single dispatch per search call (dispatch latency matters more than any
+    single pass here)."""
+    call = _raw_batched_call(g, h, s, t, nblk, n_pad, interpret)
+
     @jax.jit
     def run(values, masks, ends, base, cols):
         out = call(values, masks, base, cols)

@@ -1,0 +1,15 @@
+"""Distribution layer: mesh helpers, sharded corpus scanner, multi-host
+bring-up (the capability required by BASELINE.json configs 4-5)."""
+
+from .mesh import DATA_AXIS, NEEDLE_AXIS, corpus_sharding, make_mesh, table_sharding
+from .shard_scan import ShardedBatchedSearcher, sharded_find_cols
+
+__all__ = [
+    "DATA_AXIS",
+    "NEEDLE_AXIS",
+    "make_mesh",
+    "corpus_sharding",
+    "table_sharding",
+    "sharded_find_cols",
+    "ShardedBatchedSearcher",
+]

@@ -1,0 +1,64 @@
+"""Multi-host process setup — the jax.distributed wrapper layer
+(BASELINE.json: "multi-host pod slice ... match flags reduced via ICI
+collectives"; DCN spans slices).
+
+The scan itself needs nothing beyond shard_scan.py: `jax.distributed`
+initialization makes every host's chips part of one global mesh, and
+`make_global_corpus` assembles a globally-sharded corpus from per-host
+segment ranges without any host ever materializing the full corpus.
+Stateless like the reference — failure recovery is re-running the shard at
+the CLI layer (SURVEY.md §5.3), nothing in-library.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, make_mesh
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX (no-op when single-process).
+
+    On TPU pods the arguments are auto-detected from the environment;
+    explicit values support manual/CPU bring-up.
+    """
+    if num_processes is not None and num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_mesh(needle_axis: int = 1) -> Mesh:
+    """Mesh over every chip of every host; data axis spans hosts (segment
+    shards ride DCN only at the final one-int32-per-needle pmin)."""
+    n = jax.device_count()
+    if n % needle_axis:
+        raise ValueError(f"{n} devices not divisible by needle axis {needle_axis}")
+    return make_mesh((n // needle_axis, needle_axis))
+
+
+def make_global_corpus(
+    local_segments: np.ndarray, mesh: Mesh
+) -> jax.Array:
+    """Assemble a globally segment-sharded corpus from this host's local
+    segment block ``(g_local, S+KH, 128)``.  Host i contributes segments
+    ``[i*g_local, (i+1)*g_local)`` of the global corpus; no host touches the
+    rest."""
+    global_g = local_segments.shape[0] * jax.process_count()
+    shape = (global_g,) + local_segments.shape[1:]
+    sharding = NamedSharding(mesh, P(DATA_AXIS, None, None))
+    return jax.make_array_from_process_local_data(
+        sharding, local_segments, shape
+    )

@@ -1,0 +1,168 @@
+"""Distributed corpus scanner — the new L5 layer (absent in the single-core
+reference; specified by BASELINE.json: corpus sharded data-parallel, needle
+tables replicated, match flags/offsets reduced via ICI collectives).
+
+Because layout segments are self-contained (each carries its own halo bytes,
+ops/layout.py), sharding the segment axis requires NO neighbor communication:
+each chip scans its shard with the same Pallas kernel the single-chip path
+uses, computes per-needle lane-min offsets with a *global* base
+(``axis_index('data') * shard_bytes``), and a single ``pmin`` over the data
+axis — one int32 vector per query batch — produces exact global first-match
+offsets.  Cross-shard-boundary matches are counted exactly once: a match
+belongs to the shard where its first byte lives (halo bytes are read-only
+context), the reference's ``end = len - k + 1`` rule applied globally.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from .. import config
+from ..ops import scan_kernel
+from ..ops.layout import LANES, DeviceHaystack
+from ..ops.scan_math import SENTINEL
+from .mesh import DATA_AXIS, NEEDLE_AXIS, corpus_sharding, table_sharding
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_call(
+    mesh: Mesh,
+    g_pad: int,
+    h: int,
+    s: int,
+    t: int,
+    nblk: int,
+    n_pad: int,
+    interpret: bool,
+):
+    n_data = mesh.shape[DATA_AXIS]
+    n_needle = mesh.shape[NEEDLE_AXIS]
+    g_local = g_pad // n_data
+    n_local = n_pad // n_needle
+    seg = s * LANES
+    raw = scan_kernel._raw_batched_call(
+        g_local, h, s, t, nblk, n_local, interpret
+    )
+
+    def local_fn(cols_l, vals_l, msks_l, ends_l):
+        shard = jax.lax.axis_index(DATA_AXIS)
+        base = (shard * g_local * seg).astype(jnp.int32).reshape(1)
+        out = raw(vals_l, msks_l, base, cols_l)  # (n_local, LANES) lane mins
+        first = jnp.min(out, axis=-1)
+        # The one collective of the whole workload: min offset across the
+        # corpus shards (rides ICI; one int32 per needle).
+        first = jax.lax.pmin(first, DATA_AXIS)
+        return jnp.where(first < ends_l, first, SENTINEL)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None, None),
+            P(NEEDLE_AXIS, None),
+            P(NEEDLE_AXIS, None),
+            P(NEEDLE_AXIS),
+        ),
+        out_specs=P(NEEDLE_AXIS),
+        # pallas_call out_shapes don't carry vma annotations.
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_find_cols(
+    dh: DeviceHaystack,
+    values: np.ndarray,
+    masks: np.ndarray,
+    ends: np.ndarray,
+    mesh: Mesh,
+    nblk: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Exact global first-match offsets (SENTINEL absent) of N needles over a
+    segment-sharded corpus on ``mesh``."""
+    if dh.cols is None:
+        raise ValueError("sharded scan requires a tiled (cols) layout")
+    cols = dh.cols
+    g, h, lanes = cols.shape
+    assert lanes == LANES
+    values = jnp.asarray(values, jnp.uint32)
+    masks = jnp.asarray(masks, jnp.uint32)
+    ends = jnp.asarray(ends, jnp.int32)
+    n, t = values.shape
+    n_data = mesh.shape[DATA_AXIS]
+    n_needle = mesh.shape[NEEDLE_AXIS]
+
+    g_pad = _round_up(g, n_data)
+    if g_pad != g:
+        # All-pad segments: their positions lie beyond every needle's end.
+        cols = jnp.pad(cols, ((0, g_pad - g), (0, 0), (0, 0)))
+    nblk = nblk or min(config.NEEDLE_BLOCK, _round_up(max(n // n_needle, 1), 8))
+    n_pad = _round_up(n, n_needle * nblk)
+    if n_pad != n:
+        values = jnp.pad(values, ((0, n_pad - n), (0, 0)))
+        masks = jnp.pad(masks, ((0, n_pad - n), (0, 0)))
+        ends = jnp.pad(ends, ((0, n_pad - n),))
+    if interpret is None:
+        interpret = config.use_interpret()
+
+    run = _sharded_call(mesh, g_pad, h, dh.s, t, nblk, n_pad, interpret)
+    cols = jax.device_put(cols, corpus_sharding(mesh))
+    values = jax.device_put(values, table_sharding(mesh))
+    masks = jax.device_put(masks, table_sharding(mesh))
+    ends = jax.device_put(ends, NamedSharding(mesh, P(NEEDLE_AXIS)))
+    return run(cols, values, masks, ends)[:n]
+
+
+class ShardedBatchedSearcher:
+    """BatchedSearcher over a device mesh: same API, sharded execution."""
+
+    def __init__(self, needles, mesh: Mesh, position=None):
+        from ..models.batched import BatchedSearcher
+
+        self.inner = BatchedSearcher(needles, position)
+        self.mesh = mesh
+
+    def __len__(self):
+        return len(self.inner)
+
+    def find_all(self, dh: DeviceHaystack) -> np.ndarray:
+        dh = self.inner._layout(dh)
+        n = len(self.inner)
+        parts = []
+        blobs = []
+        for grp in self.inner.groups:
+            parts.append(
+                sharded_find_cols(
+                    dh,
+                    grp.values_dev,
+                    grp.masks_dev,
+                    grp.ends_dev(dh.length),
+                    self.mesh,
+                )
+            )
+            blobs.append(grp.indices.tobytes())
+        from ..models.batched import _scatter_groups
+
+        firsts = _scatter_groups(n, tuple(blobs), parts)
+        out = np.asarray(firsts).astype(np.int64)
+        out[out >= SENTINEL] = -1
+        return out
+
+    def search_all(self, dh) -> np.ndarray:
+        return self.find_all(dh) >= 0

@@ -1,0 +1,6 @@
+"""Utilities: ingestion, profiling harness."""
+
+from .io import load_haystack, map_file
+from .profiling import Measurement, measure
+
+__all__ = ["load_haystack", "map_file", "Measurement", "measure"]

@@ -1,0 +1,81 @@
+"""BatchedSearcher: mixed lengths, group scatter, early-exit parity."""
+
+import numpy as np
+import pytest
+
+from sliceslice_tpu import BatchedSearcher, naive_find
+from sliceslice_tpu.ops.layout import preprocess
+
+
+def oracle_all(hay: bytes, needles):
+    return np.array(
+        [-1 if (o := naive_find(hay, n)) is None else o for n in needles],
+        dtype=np.int64,
+    )
+
+
+def test_mixed_lengths_flat(rng):
+    hay = bytes(rng.integers(97, 105, (2000,), dtype=np.uint8))
+    needles = [
+        b"",
+        b"a",
+        hay[100:101],
+        hay[5:12],
+        hay[1990:2000],
+        hay[0:4],
+        b"zzzz",
+        hay[777:800],
+        b"q" * 50,
+        hay[3:3],
+    ]
+    bs = BatchedSearcher(needles)
+    got = bs.find_all(hay)
+    assert (got == oracle_all(hay, needles)).all()
+    assert (bs.search_all(hay) == (got >= 0)).all()
+
+
+def test_mixed_lengths_cols(rng):
+    hay = bytes(rng.integers(97, 103, (30_000,), dtype=np.uint8))
+    dh = preprocess(hay, kh=32, force_cols=True)
+    needles = (
+        [hay[i : i + k] for k in (1, 2, 3, 5, 8, 13, 21, 30) for i in (0, 7777, 29_000 - k)]
+        + [b"nomatch!", b"zz", hay[-6:]]
+    )
+    bs = BatchedSearcher(needles)
+    assert (bs.find_all(dh) == oracle_all(hay, needles)).all()
+
+
+def test_group_order_preserved(rng):
+    """Results come back in input order despite internal T-grouping."""
+    hay = bytes(rng.integers(97, 100, (3000,), dtype=np.uint8))
+    needles = [hay[i : i + k] for i, k in [(5, 9), (0, 1), (100, 4), (7, 17), (50, 2)]]
+    bs = BatchedSearcher(needles)
+    got = bs.find_all(hay)
+    for nd, o in zip(needles, got):
+        assert (naive_find(hay, nd) or 0) == o
+
+
+def test_needle_longer_than_haystack(rng):
+    hay = bytes(rng.integers(97, 100, (64,), dtype=np.uint8))
+    bs = BatchedSearcher([hay + b"x", hay, hay[:5]])
+    got = bs.find_all(hay)
+    assert got[0] == -1 and got[1] == 0
+
+
+def test_early_exit_parity(rng):
+    hay = bytes(rng.integers(97, 101, (1_200_000,), dtype=np.uint8))
+    dh = preprocess(hay, kh=16)
+    assert dh.g >= 2
+    needles = [hay[i : i + k] for i, k in
+               [(0, 4), (600_000, 8), (1_199_990, 10), (3, 1), (900_000, 5)]]
+    needles += [b"XYZ!", b"\x00\x01\x02"]
+    bs = BatchedSearcher(needles)
+    full = bs.find_all(dh)
+    fast = bs.find_all(dh, early_exit=True)
+    assert (full == fast).all()
+    assert (full == oracle_all(hay, needles)).all()
+
+
+def test_empty_batch():
+    bs = BatchedSearcher([])
+    assert bs.find_all(b"anything").shape == (0,)
