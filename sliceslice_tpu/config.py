@@ -16,8 +16,9 @@ import jax
 #: whenever the default backend is not a real TPU).
 interpret: bool | None = None
 
-#: Default number of needles evaluated per Pallas grid step.
-NEEDLE_BLOCK = 64
+#: Default number of needles evaluated per Pallas grid step (tuned on
+#: TPU v5e; capped per-call so SMEM probe tables stay small).
+NEEDLE_BLOCK = 256
 
 
 def use_interpret() -> bool:

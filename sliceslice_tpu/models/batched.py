@@ -105,6 +105,21 @@ class BatchedSearcher:
         n = len(self.needles)
         if n == 0:
             return np.zeros((0,), np.int64)
+        if early_exit:
+            dh = self._layout(hay)
+            if dh.cols is not None and dh.g > 1:
+                return self._find_early_exit(dh, first_chunk_segments)
+            hay = dh
+        firsts = self.find_all_device(hay)
+        out = np.asarray(firsts).astype(np.int64)  # single device->host read
+        out[out >= SENTINEL] = -1
+        return out
+
+    def find_all_device(self, hay: HaystackLike):
+        """Device-resident variant: int32[N] first offsets (SENTINEL where
+        absent), no host transfer.  The building block for pipelined
+        throughput (keep results on device, sync once per batch of queries)."""
+        n = len(self.needles)
         dh = self._layout(hay)
         if dh.cols is None:
             parts = [
@@ -116,7 +131,7 @@ class BatchedSearcher:
                 )
                 for g in self.groups
             ]
-        elif not early_exit or dh.g == 1:
+        else:
             parts = [
                 scan_kernel.batched_find_cols(
                     dh.cols,
@@ -128,14 +143,9 @@ class BatchedSearcher:
                 )
                 for g in self.groups
             ]
-        else:
-            return self._find_early_exit(dh, first_chunk_segments)
-        firsts = _scatter_groups(
+        return _scatter_groups(
             n, tuple(g.indices.tobytes() for g in self.groups), parts
         )
-        out = np.asarray(firsts).astype(np.int64)  # single device->host read
-        out[out >= SENTINEL] = -1
-        return out
 
     def search_all(self, hay: HaystackLike, **kw) -> np.ndarray:
         return self.find_all(hay, **kw) >= 0

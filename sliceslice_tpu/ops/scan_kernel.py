@@ -77,82 +77,127 @@ def _raw_batched_call(
     if not unrolled and t % 2:
         raise ValueError("probe widths beyond PROBE_UNROLL must be even")
 
-    def kernel(val_ref, msk_ref, base_ref, cols_ref, out_ref, p_scr, p4_scr):
+    def kernel(
+        val_ref, msk_ref, base_ref, cols_ref, out_ref,
+        p_scr, p4_scr, flags_scr, remaining_scr,
+    ):
         gi = pl.program_id(1)
 
-        # Build packed 4-byte windows for this segment (runs once per grid
-        # step; amortized over the nblk needles scanned below).
-        p_scr[:] = packed_windows(cols_ref[0])
-        if not unrolled:
-            # +4-row pre-shifted copy so the probe loop below can step in
-            # 8-row (one uint32 sublane tile) strides with both probes of a
-            # pair reading sublane-aligned slices.
-            p4_scr[:] = p_scr[4 : 4 + (h - 7), :]
+        def _scan_segment(gi):
+            # Build packed 4-byte windows for this segment (runs once per
+            # grid step; amortized over the nblk needles scanned below).
+            p_scr[:] = packed_windows(cols_ref[0])
+            if not unrolled:
+                # +4-row pre-shifted copy so the probe loop below can step
+                # in 8-row (one uint32 sublane tile) strides with both
+                # probes of a pair reading sublane-aligned slices.
+                p4_scr[:] = p_scr[4 : 4 + (h - 7), :]
+            seg_base = base_ref[0] + gi * seg
+            # Hoisted per-step position plane: global offset of (row,
+            # lane) in chunk 0 of this segment.  Matches are NOT masked
+            # against end here; min over all matches is exact because
+            # invalid "matches" can only lie at positions >= end, filtered
+            # once outside the kernel.
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 0)
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 1)
+            gpos0 = lane_i * s + row_i + seg_base
 
-        seg_base = base_ref[0] + gi * seg
-        # Hoisted per-step position plane: global offset of (row, lane) in
-        # chunk 0 of this segment.  Matches are NOT masked against end here;
-        # min over all matches is exact because invalid "matches" can only
-        # lie at positions >= end, filtered once outside the kernel.
-        row_i = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 0)
-        lane_i = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 1)
-        gpos0 = lane_i * s + row_i + seg_base
+            def needle_body(n, carry):
+                # Per-needle early exit (the reference's first-match early
+                # return, src/lib.rs:242-244, recovered at segment
+                # granularity): once a needle has matched, its global first
+                # offset is final — skip all remaining segments for it.
+                @pl.when(jnp.logical_or(gi == 0, flags_scr[n, 0] == 0))
+                def _scan_needle():
+                    _scan_one(n)
+                return carry
 
-        def needle_body(n, carry):
-            if unrolled:
-                vals = [val_ref[n, ti] for ti in range(t)]
-                msks = [msk_ref[n, ti] for ti in range(t)]
-
-            def chunk_body(ci, mins):
-                row0 = pl.multiple_of(ci * cs, cs)
+            def _scan_one(n):
                 if unrolled:
-                    # Straight-line unrolled probes — no per-slot branches
-                    # (scf.cond with vector results forces register spills);
-                    # mixed-length batches are instead split into exact-width
-                    # groups by the callers.
-                    slab = p_scr[pl.ds(row0, cs + slab_extra), :]
-                    acc = ((slab[0:cs, :] ^ vals[0]) & msks[0]) == 0
-                    for ti in range(1, t):
-                        eq = (
-                            (slab[4 * ti : 4 * ti + cs, :] ^ vals[ti])
-                            & msks[ti]
-                        ) == 0
-                        acc = jnp.logical_and(acc, eq)
-                else:
-                    # Long needles: loop probe pairs; offsets stay 8-aligned.
-                    # The accumulator is carried as uint32 — Mosaic mislays
-                    # large i1 vectors carried through scf loops.
-                    def probe_pair(j, acc_c):
-                        off = pl.multiple_of(row0 + 8 * j, 8)
-                        eq0 = (
-                            (p_scr[pl.ds(off, cs), :] ^ val_ref[n, 2 * j])
-                            & msk_ref[n, 2 * j]
-                        ) == 0
-                        eq4 = (
-                            (p4_scr[pl.ds(off, cs), :] ^ val_ref[n, 2 * j + 1])
-                            & msk_ref[n, 2 * j + 1]
-                        ) == 0
-                        both = jnp.logical_and(eq0, eq4)
-                        return acc_c & both.astype(jnp.uint32)
+                    vals = [val_ref[n, ti] for ti in range(t)]
+                    msks = [msk_ref[n, ti] for ti in range(t)]
 
-                    acc_u = jax.lax.fori_loop(
-                        0, t // 2, probe_pair, jnp.ones((cs, LANES), jnp.uint32)
+                def chunk_body(ci, mins):
+                    row0 = pl.multiple_of(ci * cs, cs)
+                    if unrolled:
+                        # Straight-line unrolled probes — no per-slot
+                        # branches (scf.cond with vector results forces
+                        # register spills); mixed-length batches are instead
+                        # split into exact-width groups by the callers.  All
+                        # slots except the last hold full 4-byte windows by
+                        # construction (needle.py), so they compare
+                        # directly; only the final slot needs its
+                        # mask-narrowed form.
+                        slab = p_scr[pl.ds(row0, cs + slab_extra), :]
+                        if t == 1:
+                            acc = ((slab[0:cs, :] ^ vals[0]) & msks[0]) == 0
+                        else:
+                            acc = slab[0:cs, :] == vals[0]
+                            for ti in range(1, t - 1):
+                                eq = slab[4 * ti : 4 * ti + cs, :] == vals[ti]
+                                acc = jnp.logical_and(acc, eq)
+                            ti = t - 1
+                            eq = (
+                                (slab[4 * ti : 4 * ti + cs, :] ^ vals[ti])
+                                & msks[ti]
+                            ) == 0
+                            acc = jnp.logical_and(acc, eq)
+                    else:
+                        # Long needles: loop probe pairs; offsets stay
+                        # 8-aligned.  The accumulator is carried as uint32 —
+                        # Mosaic mislays large i1 vectors through scf loops.
+                        def probe_pair(j, acc_c):
+                            off = pl.multiple_of(row0 + 8 * j, 8)
+                            eq0 = (
+                                (p_scr[pl.ds(off, cs), :] ^ val_ref[n, 2 * j])
+                                & msk_ref[n, 2 * j]
+                            ) == 0
+                            eq4 = (
+                                (p4_scr[pl.ds(off, cs), :]
+                                 ^ val_ref[n, 2 * j + 1])
+                                & msk_ref[n, 2 * j + 1]
+                            ) == 0
+                            both = jnp.logical_and(eq0, eq4)
+                            return acc_c & both.astype(jnp.uint32)
+
+                        acc_u = jax.lax.fori_loop(
+                            0, t // 2, probe_pair,
+                            jnp.ones((cs, LANES), jnp.uint32),
+                        )
+                        acc = acc_u != 0
+                    gpos = jnp.where(acc, gpos0 + row0, SENTINEL)
+                    return jnp.minimum(
+                        mins, jnp.min(gpos, axis=0, keepdims=True)
                     )
-                    acc = acc_u != 0
-                gpos = jnp.where(acc, gpos0 + row0, SENTINEL)
-                return jnp.minimum(mins, jnp.min(gpos, axis=0, keepdims=True))
 
-            mins = jax.lax.fori_loop(
-                0, n_chunks, chunk_body,
-                jnp.full((1, LANES), SENTINEL, dtype=jnp.int32),
-            )
-            prev = jnp.where(
-                gi == 0, jnp.int32(SENTINEL), out_ref[n, :].reshape(1, LANES)
-            )
-            out_ref[n, :] = jnp.minimum(prev, mins).reshape(LANES)
-            return carry
+                mins = jax.lax.fori_loop(
+                    0, n_chunks, chunk_body,
+                    jnp.full((1, LANES), SENTINEL, dtype=jnp.int32),
+                )
+                prev = jnp.where(
+                    gi == 0, jnp.int32(SENTINEL),
+                    out_ref[n, :].reshape(1, LANES),
+                )
+                fin = jnp.minimum(prev, mins)
+                out_ref[n, :] = fin.reshape(LANES)
 
-        jax.lax.fori_loop(0, nblk, needle_body, 0)
+            jax.lax.fori_loop(0, nblk, needle_body, 0)
+
+            # Found flags for the whole block in ONE vectorized cross-lane
+            # reduce (per-needle scalar reduces are ~1.5k cycles each on the
+            # VPU; this is the same information for 1/nblk the cost).
+            block = out_ref[:]
+            found = (
+                jnp.min(block, axis=1, keepdims=True) < SENTINEL
+            ).astype(jnp.int32)
+            flags_scr[:, :] = found
+            remaining_scr[0] = nblk - jnp.sum(found)
+
+        # Skip the whole segment when every needle in the block is already
+        # found (in-kernel analogue of the reference's early exit).
+        @pl.when(jnp.logical_or(gi == 0, remaining_scr[0] > 0))
+        def _segment():
+            _scan_segment(gi)
 
     return pl.pallas_call(
         kernel,
@@ -172,6 +217,8 @@ def _raw_batched_call(
         scratch_shapes=[
             pltpu.VMEM((h - 3, LANES), jnp.uint32),
             pltpu.VMEM((h - 7 if not unrolled else 8, LANES), jnp.uint32),
+            pltpu.VMEM((nblk, 1), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -225,7 +272,13 @@ def batched_find_cols(
 ) -> jax.Array:
     """First-match offsets (int32[N], SENTINEL when absent) of N needles over
     the tiled haystack.  ``base`` is added to all reported offsets (global
-    offset of this shard's first byte, for the distributed scanner)."""
+    offset of this shard's first byte, for the distributed scanner).
+
+    CONTRACT: the probe table must be width-homogeneous — every slot except
+    the last holds a full-mask 4-byte window (the kernel compares non-final
+    slots without masks).  Tables built per width group (models/batched.py,
+    parallel/shard_scan.py) satisfy this by construction; padded rows
+    (all-zero masks) are permitted only when their ``end`` is 0."""
     g, h, lanes = cols.shape
     assert lanes == LANES
     n, t = values.shape
@@ -238,7 +291,10 @@ def batched_find_cols(
     assert 4 * t - 1 <= h - s + 0, (
         f"probe table width {t} needs {4 * t - 1} halo bytes, layout has {h - s}"
     )
-    nblk = nblk or min(config.NEEDLE_BLOCK, _round_up(n, 8))
+    if nblk is None:
+        nblk = min(config.NEEDLE_BLOCK, _round_up(n, 8))
+    # SMEM budget: two (nblk, t) uint32 tables must stay a few KiB.
+    nblk = max(8, min(nblk, _round_up(2048 // max(t, 1), 8)))
     n_pad = _round_up(n, nblk)
     values = jnp.asarray(values, jnp.uint32)
     masks = jnp.asarray(masks, jnp.uint32)

@@ -95,7 +95,51 @@ def sharded_find_cols(
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Exact global first-match offsets (SENTINEL absent) of N needles over a
-    segment-sharded corpus on ``mesh``."""
+    segment-sharded corpus on ``mesh``.
+
+    Accepts mixed-width probe tables: rows are regrouped by effective width
+    (the scan kernels require homogeneous tables — every slot but the last
+    full-mask) and the groups' results merged on device.
+    """
+    values_np = np.asarray(values)
+    masks_np = np.asarray(masks)
+    eff = (masks_np != 0).sum(axis=1)  # active slots are contiguous from 0
+    widths = np.unique(eff)
+    if len(widths) > 1 or (len(widths) == 1 and widths[0] != values_np.shape[1]):
+        ends_np = np.asarray(ends)
+        n = values_np.shape[0]
+        order = []
+        parts = []
+        for w in widths:
+            idx = np.nonzero(eff == w)[0]
+            w_eff = max(int(w), 1)
+            parts.append(
+                _sharded_homogeneous(
+                    dh,
+                    values_np[idx, :w_eff],
+                    masks_np[idx, :w_eff],
+                    ends_np[idx],
+                    mesh,
+                    nblk,
+                    interpret,
+                )
+            )
+            order.append(idx)
+        order = jnp.asarray(np.concatenate(order), jnp.int32)
+        merged = jnp.concatenate([jnp.asarray(p) for p in parts])
+        return jnp.zeros((n,), jnp.int32).at[order].set(merged)
+    return _sharded_homogeneous(dh, values, masks, ends, mesh, nblk, interpret)
+
+
+def _sharded_homogeneous(
+    dh: DeviceHaystack,
+    values,
+    masks,
+    ends,
+    mesh: Mesh,
+    nblk: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
     if dh.cols is None:
         raise ValueError("sharded scan requires a tiled (cols) layout")
     cols = dh.cols
