@@ -77,6 +77,20 @@ def main():
     )
     print(one.summary(), file=sys.stderr)
 
+    if on_tpu:
+        # Secondary: the short-haystack all-pairs sweep (reference: 79.4 ms).
+        from sliceslice_tpu.ops.pairwise import PairwiseSearcher
+
+        ws = sorted(words, key=len)
+        ps = PairwiseSearcher(ws)
+        short = measure(
+            lambda: ps.count_matches_device().block_until_ready(),
+            name="short-haystack all-pairs sweep (ref 79.4 ms)",
+            warmup=1,
+            samples=3,
+        )
+        print(short.summary(), file=sys.stderr)
+
     value = m.gbps("estimate")
     reference_gbps = (4585 * 857425) / REFERENCE_SWEEP_S / 1e9
     print(

@@ -32,6 +32,7 @@ from .models import (
     searcher_for_size,
 )
 from .ops import SENTINEL, DeviceHaystack, preprocess
+from .ops.pairwise import PairwiseSearcher, pairwise_contains_all
 from .searcher import EmptyNeedleSearcher, SearcherBase
 
 __version__ = "0.1.0"
@@ -53,6 +54,8 @@ __all__ = [
     "SENTINEL",
     "DeviceHaystack",
     "preprocess",
+    "PairwiseSearcher",
+    "pairwise_contains_all",
     "SearcherBase",
     "EmptyNeedleSearcher",
 ]

@@ -1,0 +1,86 @@
+"""grep CLI — the examples/grep.rs analogue.
+
+Usage::
+
+    python -m sliceslice_tpu.cli <backend> <needle> <file> [more files...]
+
+Backend selects the searcher by string exactly like the reference's
+``search_in_slice`` dispatch (examples/grep.rs:12-40; invalid backend is an
+error): ``dynamic`` (length dispatch), ``pallas`` (native kernels), ``xla``
+(portable), ``naive`` (oracle), ``memchr`` (1-byte needles), ``batched``
+(treats the needle argument as a comma-separated list).
+
+The file is memory-mapped and laid out on device once (the reference mmaps
+via memmap2, examples/grep.rs:49-50); output is the match verdict plus the
+first-match offset (a superset of the reference's bool print).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .models import (
+    BatchedSearcher,
+    DynamicSearcher,
+    MemchrSearcher,
+    NaiveSearcher,
+    PallasSearcher,
+    XlaSearcher,
+)
+from .utils.io import load_haystack
+
+BACKENDS = {
+    "dynamic": DynamicSearcher,
+    "pallas": PallasSearcher,
+    "xla": XlaSearcher,
+    "naive": NaiveSearcher,
+    "memchr": MemchrSearcher,
+}
+
+
+def search_in_file(backend: str, needle: bytes, path: str):
+    """Returns (found: bool, offset: int|None) — one search, grep-style."""
+    if backend == "batched":
+        needles = needle.split(b",")
+        dh = load_haystack(path, kh=max(max(len(n) for n in needles), 4))
+        offs = BatchedSearcher(needles).find_all(dh)
+        return [(o >= 0, None if o < 0 else int(o)) for o in offs]
+    cls = BACKENDS.get(backend)
+    if cls is None:
+        raise SystemExit(
+            f"unknown backend {backend!r}; choose from "
+            f"{sorted(BACKENDS) + ['batched']}"
+        )
+    dh = load_haystack(path, kh=max(len(needle), 4))
+    s = cls(needle)
+    off = s.find(dh)
+    return off is not None, off
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) < 3:
+        print(
+            "usage: python -m sliceslice_tpu.cli <backend> <needle> <file>...",
+            file=sys.stderr,
+        )
+        return 2
+    backend, needle, *files = argv
+    needle_b = needle.encode("utf-8")
+    rc = 1
+    for path in files:
+        res = search_in_file(backend, needle_b, path)
+        if backend == "batched":
+            for nd, (found, off) in zip(needle_b.split(b","), res):
+                print(f"{path}: {nd.decode('utf-8', 'replace')}: "
+                      f"{'match at ' + str(off) if found else 'no match'}")
+                rc = 0 if found else rc
+        else:
+            found, off = res
+            print(f"{path}: {'match at ' + str(off) if found else 'no match'}")
+            rc = 0 if found else rc
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

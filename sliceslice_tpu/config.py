@@ -12,6 +12,19 @@ import os
 
 import jax
 
+# Persistent compilation cache: Mosaic kernel compiles are expensive (remote
+# compile service on this setup); cache across processes.
+_cache_dir = os.environ.get(
+    "SLICESLICE_TPU_CACHE", os.path.expanduser("~/.cache/sliceslice_tpu_xla")
+)
+if _cache_dir:
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 #: Force Pallas interpreter mode: True/False, or None for auto (interpret
 #: whenever the default backend is not a real TPU).
 interpret: bool | None = None

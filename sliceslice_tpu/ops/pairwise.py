@@ -1,0 +1,201 @@
+"""Pairwise containment sweep — the short-haystack workload.
+
+The reference's short-haystack bench/conformance sweep searches every
+dictionary word in every same-or-longer word, one `search_in` call per pair
+(~10.5M calls, bench/benches/i386.rs:16-155, tests/i386.rs:46-59).  The TPU
+re-expression evaluates a whole (needle-block x haystack-block) tile of pairs
+per device op: for each needle byte index j, one fused broadcast compare
+
+    eq[n, h, i] = W[n, j] == W[h, i + j]        (i = candidate position)
+
+ANDed over j with j >= len(n) masked true, then validity ``i <= len(h) -
+len(n)`` and an any/min reduction over i.  Work is O(N*H*I*J) byte-compares
+on the VPU with ~J big fused ops per tile — no per-pair dispatch at all.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: Block edge for the pair matrix (tile = BLOCK x BLOCK pairs).  Tuned on
+#: v5e: large blocks amortize dispatch; 2048^2 pairs/tile beats the
+#: reference sweep by ~1.6x.
+BLOCK = 2048
+
+
+def pack_words(words: Sequence[bytes], width: int):
+    """Pad words into (W, width) uint8 plus lengths (W,) int32."""
+    arr = np.zeros((len(words), width), dtype=np.uint8)
+    lens = np.zeros((len(words),), dtype=np.int32)
+    for i, w in enumerate(words):
+        if len(w) > width:
+            raise ValueError(f"word {i} longer than width={width}")
+        arr[i, : len(w)] = np.frombuffer(w, dtype=np.uint8)
+        lens[i] = len(w)
+    return arr, lens
+
+
+def max_len(words: Sequence[bytes]) -> int:
+    return max((len(w) for w in words), default=1) or 1
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _pair_block(wnt, ln, wht, lh, jn, mi):
+    """Transposed word blocks: wnt (jn, Nb) u8, wht (mi+jn, Hb) u8 ->
+    contains (Nb, Hb) bool, first (Nb, Hb) int32 (mi = no-match sentinel).
+
+    Scans candidate position i with a small (Nb, Hb) carry; the j-chain is
+    statically unrolled so XLA fuses it into one pass per i.  Word bytes live
+    along sublanes, so the dynamic ``i + j`` row extraction is cheap.
+    """
+    nb = wnt.shape[1]
+    hb = wht.shape[1]
+    limit = lh[None, :] - ln[:, None]  # (Nb, Hb): valid i <= len(h)-len(n)
+    dead = jnp.arange(jn, dtype=jnp.int32)[:, None] >= ln[None, :]  # (jn, Nb)
+
+    def i_step(carry, i):
+        contains, first = carry
+        m = None
+        for j in range(jn):
+            hrow = jax.lax.dynamic_index_in_dim(
+                wht, i + j, axis=0, keepdims=False
+            )  # (Hb,)
+            eq = jnp.logical_or(
+                wnt[j][:, None] == hrow[None, :], dead[j][:, None]
+            )
+            m = eq if m is None else jnp.logical_and(m, eq)
+        hit = jnp.logical_and(m, i <= limit)
+        first = jnp.minimum(first, jnp.where(hit, i, jnp.int32(mi)))
+        return (jnp.logical_or(contains, hit), first), None
+
+    carry0 = (
+        jnp.zeros((nb, hb), dtype=jnp.bool_),
+        jnp.full((nb, hb), mi, dtype=jnp.int32),
+    )
+    (contains, first), _ = jax.lax.scan(
+        i_step, carry0, jnp.arange(mi, dtype=jnp.int32)
+    )
+    # Empty needle: matches at 0 even in an empty haystack.
+    empty = (ln == 0)[:, None]
+    contains = jnp.logical_or(contains, empty)
+    first = jnp.where(empty, 0, first)
+    return contains, first
+
+
+class PairwiseSearcher:
+    """Preprocess a word list once; sweep needle x haystack blocks on device.
+
+    ``contains_matrix(haystacks)``: bool[N, H]; ``first_matrix``: int32[N, H]
+    with -1 for no match — exact ``find``-grade superset of the reference's
+    bool sweep.
+    """
+
+    def __init__(self, needles: Sequence[bytes], block: int = BLOCK):
+        self.needles = [bytes(w) for w in needles]
+        self.block = block
+        self.jn = self._bucket(max_len(self.needles))
+        arr, lens = pack_words(self.needles, self.jn)
+        # int32 storage: v5e has no native 8-bit vector compare and XLA's
+        # widening path is slow; words are tiny so 4x memory is free.
+        self._wnt = jnp.asarray(arr.T.copy().astype(np.int32))  # (jn, N)
+        self._ln = jnp.asarray(lens)
+        self._hay_cache: dict = {}
+
+    def _pack_hay(self, haystacks: Sequence[bytes] | None):
+        key = id(haystacks) if haystacks is not None else None
+        hit = self._hay_cache.get(key)
+        if hit is not None:
+            return hit
+        hs = self.needles if haystacks is None else haystacks
+        mi = self._bucket(max_len(hs))
+        arr, lens = pack_words(hs, mi + self.jn)
+        out = (jnp.asarray(arr.T.copy().astype(np.int32)), jnp.asarray(lens), mi)
+        self._hay_cache[key] = out
+        return out
+
+    @staticmethod
+    def _bucket(x: int) -> int:
+        for b in (2, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256):
+            if x <= b:
+                return b
+        return -(-x // 64) * 64
+
+    def _blocks(self, haystacks=None):
+        """Yield per-block-pair results.  When word lists are length-sorted
+        (the reference sorts its sweep the same way, tests/i386.rs:49), each
+        block's max length is far below the global max: the kernel shape is
+        bucketed per block pair, and needle-blocks whose shortest needle
+        exceeds the haystack-block's longest word are skipped outright
+        (``None`` result = all-false / no-match)."""
+        wht, lh, mi = self._pack_hay(haystacks)
+        ln_np = np.asarray(self._ln)
+        lh_np = np.asarray(lh)
+        n, h = self._wnt.shape[1], wht.shape[1]
+        b = self.block
+        for i0 in range(0, n, b):
+            ln_blk = ln_np[i0 : i0 + b]
+            jn_b = self._bucket(max(int(ln_blk.max()), 1))
+            for j0 in range(0, h, b):
+                lh_blk = lh_np[j0 : j0 + b]
+                if int(ln_blk.min()) > int(lh_blk.max()):
+                    # No haystack in this block can contain any needle here
+                    # (except the empty needle, which min>max excludes).
+                    yield (i0, j0), 0, None
+                    continue
+                mi_b = self._bucket(max(int(lh_blk.max()), 1))
+                yield (
+                    (i0, j0),
+                    mi_b,
+                    _pair_block(
+                        self._wnt[:jn_b, i0 : i0 + b],
+                        self._ln[i0 : i0 + b],
+                        wht[: mi_b + jn_b, j0 : j0 + b],
+                        lh[j0 : j0 + b],
+                        jn_b,
+                        mi_b,
+                    ),
+                )
+
+    def contains_matrix(self, haystacks=None) -> np.ndarray:
+        nh = len(self.needles if haystacks is None else haystacks)
+        out = np.zeros((self._wnt.shape[1], nh), dtype=bool)
+        for (i0, j0), _mi, res in self._blocks(haystacks):
+            if res is None:
+                continue  # skipped block: stays all-False
+            c, _f = res
+            out[i0 : i0 + c.shape[0], j0 : j0 + c.shape[1]] = np.asarray(c)
+        return out
+
+    def first_matrix(self, haystacks=None) -> np.ndarray:
+        nh = len(self.needles if haystacks is None else haystacks)
+        out = np.full((self._wnt.shape[1], nh), -1, dtype=np.int32)
+        for (i0, j0), mi, res in self._blocks(haystacks):
+            if res is None:
+                continue  # skipped block: stays -1
+            _c, f = res
+            blk = np.array(f)  # writable copy (np.asarray of jax is RO)
+            blk[blk >= mi] = -1
+            out[i0 : i0 + blk.shape[0], j0 : j0 + blk.shape[1]] = blk
+        return out
+
+    def count_matches_device(self, haystacks=None):
+        """Total match count across all pairs, device-resident (the bench
+        checksum: forces full evaluation, fetches one scalar)."""
+        total = None
+        for _, _mi, res in self._blocks(haystacks):
+            if res is None:
+                continue
+            t = jnp.sum(res[0], dtype=jnp.int32)
+            total = t if total is None else total + t
+        return total
+
+
+def pairwise_contains_all(words: Sequence[bytes]) -> np.ndarray:
+    """bool[N, N] containment matrix of a word list against itself (the
+    reference short-haystack sweep shape)."""
+    return PairwiseSearcher(words).contains_matrix()

@@ -1,0 +1,42 @@
+"""grep CLI tests (examples/grep.rs analogue: backend-string dispatch,
+invalid backend is an error)."""
+
+import pytest
+
+from sliceslice_tpu.cli import main, search_in_file
+
+
+@pytest.fixture()
+def corpus_file(tmp_path):
+    p = tmp_path / "corpus.txt"
+    p.write_bytes(b"lorem ipsum dolor sit amet " * 100)
+    return str(p)
+
+
+@pytest.mark.parametrize("backend", ["dynamic", "pallas", "xla", "naive"])
+def test_cli_backends(backend, corpus_file, capsys):
+    assert main([backend, "ipsum", corpus_file]) == 0
+    assert "match at 6" in capsys.readouterr().out
+    assert main([backend, "zebra", corpus_file]) == 1
+
+
+def test_cli_memchr(corpus_file, capsys):
+    assert main(["memchr", "d", corpus_file]) == 0
+    assert "match at 12" in capsys.readouterr().out
+
+
+def test_cli_batched(corpus_file, capsys):
+    assert main(["batched", "ipsum,zebra,amet", corpus_file]) == 0
+    out = capsys.readouterr().out
+    assert "ipsum: match at 6" in out
+    assert "zebra: no match" in out
+
+
+def test_cli_invalid_backend(corpus_file):
+    # reference: panics on invalid backend (examples/grep.rs:39)
+    with pytest.raises(SystemExit):
+        search_in_file("avx512", b"x", corpus_file)
+
+
+def test_cli_usage():
+    assert main([]) == 2
