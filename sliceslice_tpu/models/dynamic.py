@@ -4,6 +4,14 @@
 Arms: empty needle -> always-true N0 (src/x86.rs:470,500); one byte ->
 MemchrSearcher (src/x86.rs:471-475); 2..=16 -> static-offset specialized
 kernels (src/x86.rs:476-490); otherwise the generic searcher (src/x86.rs:491).
+
+One extra rung the reference's ladder implies but a device target makes
+explicit: haystacks below :data:`HOST_HAY_BYTES` that arrive as host bytes
+are searched by the native C++ SWAR tier (utils/native.py) — a device
+round-trip costs milliseconds of link latency while a sub-4KB scan costs
+microseconds on the host, the same "cheapest adequate machinery" logic as
+the reference's narrow-register rungs (src/x86.rs:361-375).  Preprocessed
+:class:`DeviceHaystack` inputs always take the device path.
 """
 
 from __future__ import annotations
@@ -11,9 +19,14 @@ from __future__ import annotations
 from typing import Optional
 
 from ..needle import NeedleLike, as_bytes
-from ..searcher import EmptyNeedleSearcher, HaystackLike
+from ..ops.layout import DeviceHaystack
+from ..searcher import EmptyNeedleSearcher, HaystackLike, _hay_bytes
 from .memchr import MemchrSearcher
+from .naive import naive_find
 from .pallas_searcher import PallasSearcher, searcher_for_size
+
+#: Host-bytes haystacks at or below this size skip the device entirely.
+HOST_HAY_BYTES = 4096
 
 
 class DynamicSearcher:
@@ -46,12 +59,25 @@ class DynamicSearcher:
         return self._inner.position
 
     def search_in(self, hay: HaystackLike) -> bool:
-        return self._inner.search_in(hay)
+        return self.find(hay) is not None
+
+    def find(self, hay: HaystackLike) -> Optional[int]:
+        if self._inner.size and not isinstance(hay, DeviceHaystack):
+            data = _hay_bytes(hay)
+            if len(data) <= HOST_HAY_BYTES:
+                return self._host_find(data)
+        return self._inner.find(hay)
 
     inlined_search_in = search_in
 
-    def find(self, hay: HaystackLike) -> Optional[int]:
-        return self._inner.find(hay)
+    def _host_find(self, data: bytes) -> Optional[int]:
+        from ..utils import native
+
+        if native.available():
+            return native.swar_find(
+                data, self._inner.needle.data, self._inner.position
+            )
+        return naive_find(data, self._inner.needle.data)
 
     def __repr__(self):
         return f"DynamicSearcher({self._inner!r})"

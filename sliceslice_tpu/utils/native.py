@@ -1,0 +1,117 @@
+"""ctypes bindings for the native SWAR scanner (csrc/swarscan.cpp).
+
+Compiled on first use with the system toolchain (g++ -O3), cached next to the
+source.  This is the CPU competitor-baseline tier of the benchmark harness —
+the counterpart of the reference's sse4-strstr FFI crate
+(bench/sse4-strstr/build.rs) — and a fast independent oracle for conformance
+sweeps.  Gated: everything degrades to the pure-Python oracle when no
+toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_SRC = os.path.abspath(os.path.join(_CSRC, "swarscan.cpp"))
+_SO = os.path.abspath(os.path.join(_CSRC, "build", "libswarscan.so"))
+
+_lib = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    for cxx in ("g++", "clang++", "c++"):
+        try:
+            subprocess.run(
+                [cxx, "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+                 "-o", _SO],
+                check=True,
+                capture_output=True,
+            )
+            return _SO
+        except (OSError, subprocess.CalledProcessError):
+            continue
+    return None
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The compiled library, or None when unavailable (no toolchain)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    so = _build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.swar_find_pos.restype = ctypes.c_int64
+    lib.swar_find_pos.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int64,
+    ]
+    lib.swar_find.restype = ctypes.c_int64
+    lib.swar_find.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.swar_find_batch.restype = None
+    lib.swar_find_batch.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64),
+    ]
+    lib.swar_pairwise.restype = None
+    lib.swar_pairwise.argtypes = [
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int8),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def swar_find(hay: bytes, needle: bytes, position: Optional[int] = None) -> Optional[int]:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native swarscan unavailable (no C++ toolchain)")
+    pos = len(needle) - 1 if position is None else position
+    r = lib.swar_find_pos(hay, len(hay), needle, len(needle), pos)
+    return None if r < 0 else int(r)
+
+
+def _pack(needles: Sequence[bytes]):
+    offsets = np.zeros(len(needles) + 1, dtype=np.int64)
+    for i, nd in enumerate(needles):
+        offsets[i + 1] = offsets[i] + len(nd)
+    return b"".join(needles), offsets
+
+
+def swar_find_batch(hay: bytes, needles: Sequence[bytes]) -> np.ndarray:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native swarscan unavailable (no C++ toolchain)")
+    flat, offsets = _pack(needles)
+    out = np.empty(len(needles), dtype=np.int64)
+    lib.swar_find_batch(hay, len(hay), flat, offsets, len(needles), out)
+    return out
+
+
+def swar_pairwise(words: Sequence[bytes]) -> np.ndarray:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native swarscan unavailable (no C++ toolchain)")
+    flat, offsets = _pack(words)
+    out = np.empty((len(words), len(words)), dtype=np.int8)
+    lib.swar_pairwise(flat, offsets, len(words), out)
+    return out.astype(bool)

@@ -1,0 +1,72 @@
+"""Native SWAR scanner: differential vs the Python oracle (the ASan-style
+memory-safety enforcement is the tail-loop bound in the C++ plus these
+boundary-hammering cases)."""
+
+import numpy as np
+import pytest
+
+from sliceslice_tpu import naive_find
+from sliceslice_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="no C++ toolchain"
+)
+
+
+def test_swar_basic():
+    hay = b"the quick brown fox jumps over the lazy dog"
+    assert native.swar_find(hay, b"quick") == 4
+    assert native.swar_find(hay, b"dog") == hay.find(b"dog")
+    assert native.swar_find(hay, b"zebra") is None
+    assert native.swar_find(hay, b"t") == 0
+    assert native.swar_find(hay, b"") == 0
+    assert native.swar_find(hay, hay) == 0
+    assert native.swar_find(b"ab", b"abc") is None
+
+
+def test_swar_positions_equivalent():
+    hay = b"aaabaaabaaab" * 5
+    nd = b"abaa"
+    for p in range(len(nd)):
+        assert native.swar_find(hay, nd, position=p) == naive_find(hay, nd)
+
+
+def test_swar_differential(rng):
+    hay = bytes(rng.integers(97, 102, (5000,), dtype=np.uint8))
+    for k in [1, 2, 3, 4, 7, 8, 9, 15, 16, 17, 40]:
+        for _ in range(20):
+            start = int(rng.integers(0, 5000 - k))
+            nd = hay[start : start + k]
+            assert native.swar_find(hay, nd) == naive_find(hay, nd)
+        nd = bytes(rng.integers(0, 256, (k,), dtype=np.uint8))
+        assert native.swar_find(hay, nd) == naive_find(hay, nd)
+
+
+def test_swar_boundaries(rng):
+    hay = bytes(rng.integers(97, 100, (257,), dtype=np.uint8))
+    for k in [2, 3, 8, 9]:
+        nd = hay[-k:]
+        assert native.swar_find(hay, nd) == naive_find(hay, nd)
+        nd2 = hay[-k:-1] + b"\xff"
+        assert native.swar_find(hay, nd2) == naive_find(hay, nd2)
+
+
+def test_swar_batch(rng):
+    hay = bytes(rng.integers(97, 103, (3000,), dtype=np.uint8))
+    needles = [hay[i : i + k] for i, k in [(0, 3), (100, 8), (2990, 10)]]
+    needles += [b"zzz", b"", hay[-1:]]
+    got = native.swar_find_batch(hay, needles)
+    for nd, o in zip(needles, got):
+        exp = naive_find(hay, nd)
+        assert (None if o < 0 else int(o)) == exp, nd
+
+
+def test_swar_pairwise_matches_oracle(rng):
+    words = [
+        bytes(rng.integers(97, 100, (int(rng.integers(0, 8)),), dtype=np.uint8))
+        for _ in range(40)
+    ]
+    got = native.swar_pairwise(words)
+    for i, n in enumerate(words):
+        for j, h in enumerate(words):
+            assert got[i, j] == (h.find(n) >= 0), (n, h)
