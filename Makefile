@@ -1,0 +1,22 @@
+# Developer entry points (the check.yml analogue: test gate, slow conformance,
+# bench, native build).
+
+.PHONY: test test-slow bench bench-competitors native clean
+
+test:
+	python -m pytest tests/ -x -q -m "not slow"
+
+test-slow:
+	python -m pytest tests/ -q -m slow
+
+bench:
+	python bench.py
+
+bench-competitors:
+	python benchmarks/competitors.py
+
+native:
+	python -c "from sliceslice_tpu.utils import native; assert native.available()"
+
+clean:
+	rm -rf csrc/build .pytest_cache $(shell find . -name __pycache__)

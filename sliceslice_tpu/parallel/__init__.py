@@ -2,6 +2,7 @@
 bring-up (the capability required by BASELINE.json configs 4-5)."""
 
 from .mesh import DATA_AXIS, NEEDLE_AXIS, corpus_sharding, make_mesh, table_sharding
+from .scaling import format_report, measure_scaling
 from .shard_scan import ShardedBatchedSearcher, sharded_find_cols
 
 __all__ = [
@@ -12,4 +13,6 @@ __all__ = [
     "table_sharding",
     "sharded_find_cols",
     "ShardedBatchedSearcher",
+    "measure_scaling",
+    "format_report",
 ]

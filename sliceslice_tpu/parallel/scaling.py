@@ -1,0 +1,80 @@
+"""Scaling harness: bytes/s vs device count (BASELINE target: >= 90% linear
+scaling of corpus-scan throughput from 1 device to N).
+
+On a real pod slice, run with the full mesh; on a single host the same
+harness demonstrates the scaling *shape* on an
+``xla_force_host_platform_device_count`` virtual CPU mesh (the reference
+analogously executes its wasm backend under wasmtime rather than real
+hardware, check.yml).  Every measurement re-verifies exactness against the
+single-device result.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..needle import build_probe_table
+from ..ops.layout import DeviceHaystack
+from .mesh import make_mesh
+from .shard_scan import sharded_find_cols
+
+
+def measure_scaling(
+    dh: DeviceHaystack,
+    needles: Sequence[bytes],
+    device_counts: Optional[Sequence[int]] = None,
+    samples: int = 3,
+) -> List[dict]:
+    """Per device count: median sweep seconds, bytes/s, efficiency vs linear."""
+    devices = jax.devices()
+    if device_counts is None:
+        device_counts = [
+            n for n in (1, 2, 4, 8, 16, 32, 64) if n <= len(devices)
+        ]
+    values, masks, lengths = build_probe_table(needles)
+    ends = np.maximum(dh.length - lengths + 1, 0).astype(np.int32)
+    total_bytes = dh.length * len(needles)
+
+    results = []
+    reference_out = None
+    base_rate = None
+    for n in device_counts:
+        mesh = make_mesh((n, 1), devices=devices[:n])
+        out = np.asarray(sharded_find_cols(dh, values, masks, ends, mesh))
+        if reference_out is None:
+            reference_out = out
+        else:
+            assert (out == reference_out).all(), f"divergence at n={n}"
+        ts = []
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            sharded_find_cols(dh, values, masks, ends, mesh).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        sec = sorted(ts)[len(ts) // 2]
+        rate = total_bytes / sec
+        if base_rate is None:
+            base_rate = rate
+        results.append(
+            {
+                "devices": n,
+                "seconds": sec,
+                "bytes_per_s": rate,
+                "efficiency": rate / (base_rate * n),
+            }
+        )
+    return results
+
+
+def format_report(results: List[dict]) -> str:
+    lines = ["| devices | sweep s | GB/s | efficiency vs linear |",
+             "|---------|---------|------|----------------------|"]
+    for r in results:
+        lines.append(
+            f"| {r['devices']} | {r['seconds']:.4f} | "
+            f"{r['bytes_per_s'] / 1e9:.2f} | {r['efficiency'] * 100:.1f}% |"
+        )
+    return "\n".join(lines)

@@ -63,3 +63,15 @@ def measure(
         fn()
         out.append(time.perf_counter() - t0)
     return Measurement(name, out, bytes_processed)
+
+
+def trace(fn, logdir: str = "/tmp/sliceslice_tpu_trace"):
+    """Capture a jax.profiler trace of one invocation (SURVEY.md §5.1: the
+    TPU-side observability story — per-kernel wall time and HBM counters in
+    TensorBoard/xprof instead of Linux perf events)."""
+    import jax
+
+    with jax.profiler.trace(logdir):
+        out = fn()
+        jax.block_until_ready(out)
+    return logdir
