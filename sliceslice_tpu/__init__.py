@@ -34,6 +34,7 @@ from .models import (
 from .ops import SENTINEL, DeviceHaystack, preprocess
 from .ops.pairwise import PairwiseSearcher, pairwise_contains_all
 from .searcher import EmptyNeedleSearcher, SearcherBase
+from .utils.streaming import StreamingScanner
 
 __version__ = "0.1.0"
 
@@ -56,6 +57,7 @@ __all__ = [
     "preprocess",
     "PairwiseSearcher",
     "pairwise_contains_all",
+    "StreamingScanner",
     "SearcherBase",
     "EmptyNeedleSearcher",
 ]

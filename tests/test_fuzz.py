@@ -1,0 +1,56 @@
+"""Property-based fuzzing of every search path against the oracle — beyond
+the reference's test strategy (it has no fuzzing, SURVEY.md §4); the natural
+upgrade once tests are Python."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st_
+
+from sliceslice_tpu import BatchedSearcher, DynamicSearcher, naive_find
+from sliceslice_tpu.ops.layout import preprocess
+from sliceslice_tpu.ops.pairwise import PairwiseSearcher
+
+def _bytes(alphabet: bytes, max_size: int):
+    # Small alphabet maximizes collisions/almost-matches.
+    return st_.builds(
+        bytes,
+        st_.lists(st_.sampled_from(list(alphabet)), min_size=0, max_size=max_size),
+    )
+
+
+bytes_small = _bytes(b"abc\x00\xff", 200)
+needle_small = _bytes(b"abc\x00\xff", 40)
+
+
+@settings(max_examples=60, deadline=None)
+@given(hay=bytes_small, nd=needle_small)
+def test_fuzz_dynamic(hay, nd):
+    got = DynamicSearcher(nd).find(hay)
+    assert got == naive_find(hay, nd)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    hay=_bytes(b"ab", 3000),
+    needles=st_.lists(_bytes(b"ab", 24), min_size=1, max_size=8),
+)
+def test_fuzz_batched_cols(hay, needles):
+    dh = preprocess(hay, kh=24, force_cols=True) if hay else hay
+    got = BatchedSearcher(needles).find_all(dh if hay else b"")
+    for nd, o in zip(needles, got):
+        exp = naive_find(hay, nd)
+        assert (None if o < 0 else int(o)) == exp, (nd, hay)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    words=st_.lists(_bytes(b"ab", 10), min_size=1, max_size=12)
+)
+def test_fuzz_pairwise(words):
+    ps = PairwiseSearcher(words, block=8)
+    got_c = ps.contains_matrix()
+    got_f = ps.first_matrix()
+    for i, n in enumerate(words):
+        for j, h in enumerate(words):
+            exp = h.find(n)
+            assert got_c[i, j] == (exp >= 0), (n, h)
+            assert got_f[i, j] == exp, (n, h)

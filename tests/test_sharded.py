@@ -85,3 +85,21 @@ def test_pad_segments_mesh_bigger_than_corpus():
     got = np.asarray(sharded_find_cols(dh, values, masks, ends, mesh))
     for nd, o in zip(needles, got):
         assert (None if o >= SENTINEL else int(o)) == naive_find(data, nd), nd
+
+
+def test_make_global_corpus_single_process():
+    """Single-process path of the multi-host corpus assembly."""
+    import jax
+
+    from sliceslice_tpu.parallel.distributed import global_mesh, make_global_corpus
+
+    mesh = global_mesh()
+    local = np.zeros((8, 64, 128), dtype=np.uint8)
+    arr = make_global_corpus(local, mesh)
+    assert arr.shape == (8 * jax.process_count(), 64, 128)
+
+
+def test_initialize_noop():
+    from sliceslice_tpu.parallel.distributed import initialize
+
+    initialize(num_processes=1)  # must be a no-op
