@@ -115,7 +115,9 @@ def _raw_batched_call(
             def _scan_one(n):
                 if unrolled:
                     vals = [val_ref[n, ti] for ti in range(t)]
-                    msks = [msk_ref[n, ti] for ti in range(t)]
+                    # Only the final slot's mask is ever applied; skip the
+                    # other SMEM reads (they add up in the needle loop).
+                    last_msk = msk_ref[n, t - 1]
 
                 def chunk_body(ci, mins):
                     row0 = pl.multiple_of(ci * cs, cs)
@@ -130,7 +132,7 @@ def _raw_batched_call(
                         # mask-narrowed form.
                         slab = p_scr[pl.ds(row0, cs + slab_extra), :]
                         if t == 1:
-                            acc = ((slab[0:cs, :] ^ vals[0]) & msks[0]) == 0
+                            acc = ((slab[0:cs, :] ^ vals[0]) & last_msk) == 0
                         else:
                             acc = slab[0:cs, :] == vals[0]
                             for ti in range(1, t - 1):
@@ -139,7 +141,7 @@ def _raw_batched_call(
                             ti = t - 1
                             eq = (
                                 (slab[4 * ti : 4 * ti + cs, :] ^ vals[ti])
-                                & msks[ti]
+                                & last_msk
                             ) == 0
                             acc = jnp.logical_and(acc, eq)
                     else:
@@ -170,10 +172,15 @@ def _raw_batched_call(
                         mins, jnp.min(gpos, axis=0, keepdims=True)
                     )
 
-                mins = jax.lax.fori_loop(
-                    0, n_chunks, chunk_body,
-                    jnp.full((1, LANES), SENTINEL, dtype=jnp.int32),
-                )
+                init = jnp.full((1, LANES), SENTINEL, dtype=jnp.int32)
+                if n_chunks <= 4:
+                    # Unrolled: the scalar fori machinery is comparable to a
+                    # whole vector pass at these trip counts.
+                    mins = init
+                    for ci in range(n_chunks):
+                        mins = chunk_body(ci, mins)
+                else:
+                    mins = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
                 prev = jnp.where(
                     gi == 0, jnp.int32(SENTINEL),
                     out_ref[n, :].reshape(1, LANES),
