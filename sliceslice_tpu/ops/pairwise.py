@@ -16,7 +16,7 @@ on the VPU with ~J big fused ops per tile — no per-pair dispatch at all.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

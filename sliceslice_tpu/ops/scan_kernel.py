@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
-from .scan_math import SENTINEL, first_offset, lane_first_offset, packed_windows
+from .scan_math import SENTINEL, lane_first_offset, packed_windows
 
 LANES = 128
 
