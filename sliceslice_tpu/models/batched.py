@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,23 +48,36 @@ def _t_bucket(t: int) -> int:
 
 
 class _Group:
-    """Needles sharing one probe-table width: device-resident tables."""
+    """Needles sharing one probe-table width: device-resident tables,
+    pre-padded to the kernel's block plan so the per-sweep hot path issues
+    zero table-shaping dispatches."""
 
     def __init__(self, indices: np.ndarray, needles: List[bytes], t: int):
         self.indices = indices
         self.t = t
+        self.n = len(needles)
         vals, msks, lens = build_probe_table(needles, t_max=t)
         self.lengths = lens
-        self.values_dev = jnp.asarray(vals, jnp.uint32)
-        self.masks_dev = jnp.asarray(msks, jnp.uint32)
+        _, self.n_pad = scan_kernel.plan_block(self.n, t)
+        rowpad = ((0, self.n_pad - self.n), (0, 0))
+        self.values_dev = jnp.asarray(np.pad(vals, rowpad), jnp.uint32)
+        self.masks_dev = jnp.asarray(np.pad(msks, rowpad), jnp.uint32)
         self.indices_dev = jnp.asarray(indices, jnp.int32)
         self._ends_cache: dict[int, jnp.ndarray] = {}
+
+    def pad_ends(self, ends: np.ndarray) -> np.ndarray:
+        """Zero-pad per-needle ends to the padded row count (end 0 = padded
+        slot can never report a match)."""
+        return np.pad(
+            np.asarray(ends, np.int32), ((0, self.n_pad - self.n),)
+        )
 
     def ends_dev(self, hay_len: int) -> jnp.ndarray:
         e = self._ends_cache.get(hay_len)
         if e is None:
             e = jnp.asarray(
-                np.maximum(hay_len - self.lengths + 1, 0), jnp.int32
+                self.pad_ends(np.maximum(hay_len - self.lengths + 1, 0)),
+                jnp.int32,
             )
             self._ends_cache[hay_len] = e
         return e
@@ -85,8 +99,35 @@ class BatchedSearcher:
         self.max_t = max((g.t for g in self.groups), default=1)
         self._base0 = jnp.asarray([0], jnp.int32)
 
+        self._sweep_cache: dict = {}
+
     def __len__(self) -> int:
         return len(self.needles)
+
+    def _sweep_fn(self, dh: DeviceHaystack):
+        """One fused jit per layout shape: every group's scan kernel plus the
+        re-scatter in a single device program — a single dispatch per sweep."""
+        key = (dh.s, dh.g, dh.kh, dh.length)
+        fn = self._sweep_cache.get(key)
+        if fn is not None:
+            return fn
+        n = len(self.needles)
+        blobs = tuple(g.indices.tobytes() for g in self.groups)
+        s = dh.s
+        base0 = self._base0
+
+        @jax.jit
+        def sweep(cols, tables):
+            parts = [
+                scan_kernel.batched_find_cols(
+                    cols, v, m, e, s=s, base=base0
+                )
+                for (v, m, e) in tables
+            ]
+            return _scatter_groups(n, blobs, parts)
+
+        self._sweep_cache[key] = sweep
+        return sweep
 
     def _layout(self, hay: HaystackLike) -> DeviceHaystack:
         # Halo must cover the widest group's probe table.
@@ -132,17 +173,11 @@ class BatchedSearcher:
                 for g in self.groups
             ]
         else:
-            parts = [
-                scan_kernel.batched_find_cols(
-                    dh.cols,
-                    g.values_dev,
-                    g.masks_dev,
-                    g.ends_dev(dh.length),
-                    s=dh.s,
-                    base=self._base0,
-                )
+            tables = tuple(
+                (g.values_dev, g.masks_dev, g.ends_dev(dh.length))
                 for g in self.groups
-            ]
+            )
+            return self._sweep_fn(dh)(dh.cols, tables)
         return _scatter_groups(
             n, tuple(g.indices.tobytes() for g in self.groups), parts
         )
@@ -191,15 +226,29 @@ class BatchedSearcher:
 
 
 @functools.lru_cache(maxsize=64)
-def _scatter_plan(n: int, index_blobs: tuple):
-    order = np.concatenate(
+def _scatter_jit(n: int, index_blobs: tuple, sizes: tuple):
+    # Keep the permutation as numpy here: this factory may first run inside
+    # another jit trace, and a device array created there would leak a
+    # tracer-tainted constant into the cached closure.
+    order_np = np.concatenate(
         [np.frombuffer(b, dtype=np.int64) for b in index_blobs]
-    )
-    return jnp.asarray(order, jnp.int32)
+    ).astype(np.int32)
+
+    @jax.jit
+    def scatter(*parts):
+        order = jnp.asarray(order_np)
+        merged = jnp.concatenate(
+            [p[:sz].astype(jnp.int32) for p, sz in zip(parts, sizes)]
+        )
+        return jnp.zeros((n,), jnp.int32).at[order].set(merged)
+
+    return scatter
 
 
 def _scatter_groups(n: int, index_blobs: tuple, parts):
-    """Scatter per-group results back to input order, on device."""
-    order = _scatter_plan(n, index_blobs)
-    merged = jnp.concatenate([jnp.asarray(p, jnp.int32) for p in parts])
-    return jnp.zeros((n,), jnp.int32).at[order].set(merged)
+    """Scatter per-group results back to input order — one fused device
+    program (unpad slices + concat + scatter)."""
+    sizes = tuple(
+        len(b) // 8 for b in index_blobs
+    )  # int64 indices -> true group sizes
+    return _scatter_jit(n, index_blobs, sizes)(*parts)

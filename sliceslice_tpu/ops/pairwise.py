@@ -58,8 +58,7 @@ def _pair_block(wnt, ln, wht, lh, jn, mi):
     limit = lh[None, :] - ln[:, None]  # (Nb, Hb): valid i <= len(h)-len(n)
     dead = jnp.arange(jn, dtype=jnp.int32)[:, None] >= ln[None, :]  # (jn, Nb)
 
-    def i_step(carry, i):
-        contains, first = carry
+    def i_step(first, i):
         m = None
         for j in range(jn):
             hrow = jax.lax.dynamic_index_in_dim(
@@ -70,21 +69,17 @@ def _pair_block(wnt, ln, wht, lh, jn, mi):
             )
             m = eq if m is None else jnp.logical_and(m, eq)
         hit = jnp.logical_and(m, i <= limit)
-        first = jnp.minimum(first, jnp.where(hit, i, jnp.int32(mi)))
-        return (jnp.logical_or(contains, hit), first), None
+        # Carry only the first-offset plane; containment is first < mi.
+        return jnp.minimum(first, jnp.where(hit, i, jnp.int32(mi))), None
 
-    carry0 = (
-        jnp.zeros((nb, hb), dtype=jnp.bool_),
-        jnp.full((nb, hb), mi, dtype=jnp.int32),
-    )
-    (contains, first), _ = jax.lax.scan(
-        i_step, carry0, jnp.arange(mi, dtype=jnp.int32)
+    first0 = jnp.full((nb, hb), mi, dtype=jnp.int32)
+    first, _ = jax.lax.scan(
+        i_step, first0, jnp.arange(mi, dtype=jnp.int32)
     )
     # Empty needle: matches at 0 even in an empty haystack.
     empty = (ln == 0)[:, None]
-    contains = jnp.logical_or(contains, empty)
     first = jnp.where(empty, 0, first)
-    return contains, first
+    return first < mi, first
 
 
 class PairwiseSearcher:

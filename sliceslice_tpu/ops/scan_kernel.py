@@ -242,24 +242,37 @@ def _batched_call(
     t: int,
     nblk: int,
     n_pad: int,
+    n_out: int,
     interpret: bool,
 ):
-    """One fused device program: kernel + cross-lane min + end filter — a
-    single dispatch per search call (dispatch latency matters more than any
-    single pass here)."""
+    """One fused device program: kernel + cross-lane min + end filter +
+    unpad slice — a single dispatch per search call (dispatch latency
+    matters more than any single pass here)."""
     call = _raw_batched_call(g, h, s, t, nblk, n_pad, interpret)
 
     @jax.jit
     def run(values, masks, ends, base, cols):
         out = call(values, masks, base, cols)
-        first = jnp.min(out, axis=-1)
-        return jnp.where(first < ends, first, SENTINEL)
+        first = jnp.min(out[:n_out], axis=-1)
+        return jnp.where(first < ends[:n_out], first, SENTINEL)
 
     return run
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def plan_block(n: int, t: int) -> tuple[int, int]:
+    """(nblk, n_pad) for an n-needle width-t table — the single source of
+    truth shared by the wrapper and by callers that pre-pad device-resident
+    tables (so no per-call padding dispatches happen on the hot path).
+
+    SMEM budget: two (nblk, t) uint32 tables stay a few KiB; VMEM budget:
+    (nblk, 128) out blocks + flag reduction cap nblk at 256."""
+    cap = max(8, min(256, _round_up(2048 // max(t, 1), 8)))
+    nblk = min(config.NEEDLE_BLOCK, cap, _round_up(max(n, 1), 8))
+    return nblk, _round_up(max(n, 1), nblk)
 
 
 @jax.jit
@@ -299,25 +312,26 @@ def batched_find_cols(
         f"probe table width {t} needs {4 * t - 1} halo bytes, layout has {h - s}"
     )
     if nblk is None:
-        nblk = min(config.NEEDLE_BLOCK, _round_up(n, 8))
-    # SMEM budget: two (nblk, t) uint32 tables must stay a few KiB.
-    nblk = max(8, min(nblk, _round_up(2048 // max(t, 1), 8)))
-    n_pad = _round_up(n, nblk)
+        nblk, n_pad = plan_block(n, t)
+    else:
+        nblk = max(8, min(nblk, 256, _round_up(2048 // max(t, 1), 8)))
+        n_pad = _round_up(n, nblk)
     values = jnp.asarray(values, jnp.uint32)
     masks = jnp.asarray(masks, jnp.uint32)
     ends = jnp.asarray(ends, jnp.int32)
     if n_pad != n:
+        # Callers on the hot path pre-pad device tables via plan_block and
+        # never reach these dispatches.
         pad = ((0, n_pad - n), (0, 0))
         values = jnp.pad(values, pad)
         masks = jnp.pad(masks, pad)  # mask=0 -> probe always true
         ends = jnp.pad(ends, ((0, n_pad - n),))  # end=0 -> no valid
     if interpret is None:
         interpret = config.use_interpret()
-    run = _batched_call(g, h, s, t, nblk, n_pad, interpret)
+    run = _batched_call(g, h, s, t, nblk, n_pad, n, interpret)
     if isinstance(base, (int, np.integer)):
         base = jnp.asarray([base], jnp.int32)
-    out = run(values, masks, ends, base.reshape(1), cols)
-    return out[:n]
+    return run(values, masks, ends, base.reshape(1), cols)
 
 
 @functools.lru_cache(maxsize=64)

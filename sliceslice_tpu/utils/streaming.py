@@ -100,7 +100,9 @@ class StreamingScanner:
                 end_local = len(wbytes) - lens + 1 if is_last else np.minimum(
                     self.window, len(wbytes) - lens + 1
                 )
-                ends = base + np.maximum(end_local, 0)
+                end_local = np.maximum(end_local, 0)
+                ends = grp.pad_ends(base + end_local)
+                end_local = grp.pad_ends(end_local)
                 if dh.cols is None:
                     from ..ops import xla_backend
 
