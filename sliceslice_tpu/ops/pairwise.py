@@ -101,17 +101,29 @@ class PairwiseSearcher:
         self._ln = jnp.asarray(lens)
         self._hay_cache: dict = {}
 
-    def _pack_hay(self, haystacks: Sequence[bytes] | None):
-        key = id(haystacks) if haystacks is not None else None
+    def _cache_get(self, kind: str, haystacks):
+        # id()-keyed with a strong reference kept in the value, so a freed
+        # list's address can never alias a new one.
+        key = (kind, id(haystacks) if haystacks is not None else None)
         hit = self._hay_cache.get(key)
+        if hit is not None and hit[0] is haystacks:
+            return hit[1]
+        return None
+
+    def _cache_put(self, kind: str, haystacks, value):
+        key = (kind, id(haystacks) if haystacks is not None else None)
+        self._hay_cache[key] = (haystacks, value)
+        return value
+
+    def _pack_hay(self, haystacks: Sequence[bytes] | None):
+        hit = self._cache_get("pack", haystacks)
         if hit is not None:
             return hit
         hs = self.needles if haystacks is None else haystacks
         mi = self._bucket(max_len(hs))
         arr, lens = pack_words(hs, mi + self.jn)
         out = (jnp.asarray(arr.T.copy().astype(np.int32)), jnp.asarray(lens), mi)
-        self._hay_cache[key] = out
-        return out
+        return self._cache_put("pack", haystacks, out)
 
     @staticmethod
     def _bucket(x: int) -> int:
@@ -120,74 +132,105 @@ class PairwiseSearcher:
                 return b
         return -(-x // 64) * 64
 
-    def _blocks(self, haystacks=None):
-        """Yield per-block-pair results.  When word lists are length-sorted
-        (the reference sorts its sweep the same way, tests/i386.rs:49), each
-        block's max length is far below the global max: the kernel shape is
-        bucketed per block pair, and needle-blocks whose shortest needle
-        exceeds the haystack-block's longest word are skipped outright
-        (``None`` result = all-false / no-match)."""
+    def _plan(self, haystacks=None):
+        """Static block plan: (i0, j0, jn_b, mi_b) per evaluated block pair.
+        When word lists are length-sorted (the reference sorts its sweep the
+        same way, tests/i386.rs:49), each block's max length is far below the
+        global max: kernel shapes are bucketed per block pair, and
+        needle-blocks whose shortest needle exceeds the haystack-block's
+        longest word are skipped outright (all-false / no-match)."""
         wht, lh, mi = self._pack_hay(haystacks)
+        hit = self._cache_get("plan", haystacks)
+        if hit is not None:
+            return hit
         ln_np = np.asarray(self._ln)
         lh_np = np.asarray(lh)
         n, h = self._wnt.shape[1], wht.shape[1]
         b = self.block
+        plan = []
         for i0 in range(0, n, b):
             ln_blk = ln_np[i0 : i0 + b]
             jn_b = self._bucket(max(int(ln_blk.max()), 1))
             for j0 in range(0, h, b):
                 lh_blk = lh_np[j0 : j0 + b]
                 if int(ln_blk.min()) > int(lh_blk.max()):
-                    # No haystack in this block can contain any needle here
-                    # (except the empty needle, which min>max excludes).
-                    yield (i0, j0), 0, None
+                    plan.append((i0, j0, 0, 0))  # skipped
                     continue
                 mi_b = self._bucket(max(int(lh_blk.max()), 1))
-                yield (
-                    (i0, j0),
+                plan.append((i0, j0, jn_b, mi_b))
+        out = (tuple(plan), wht, lh, mi, n, h)
+        return self._cache_put("plan", haystacks, out)
+
+    @functools.lru_cache(maxsize=32)
+    def _fused(self, plan, n: int, h: int, want: str):
+        """One jit program for the whole sweep: every block kernel plus the
+        requested reduction — host dispatch independent of block count."""
+        b = self.block
+
+        def blocks(wnt, ln, wht, lh):
+            for (i0, j0, jn_b, mi_b) in plan:
+                if jn_b == 0:
+                    yield (i0, j0, 0), None
+                    continue
+                yield (i0, j0, mi_b), _pair_block(
+                    wnt[:jn_b, i0 : i0 + b],
+                    ln[i0 : i0 + b],
+                    wht[: mi_b + jn_b, j0 : j0 + b],
+                    lh[j0 : j0 + b],
+                    jn_b,
                     mi_b,
-                    _pair_block(
-                        self._wnt[:jn_b, i0 : i0 + b],
-                        self._ln[i0 : i0 + b],
-                        wht[: mi_b + jn_b, j0 : j0 + b],
-                        lh[j0 : j0 + b],
-                        jn_b,
-                        mi_b,
-                    ),
                 )
 
+        if want == "count":
+
+            @jax.jit
+            def run(wnt, ln, wht, lh):
+                total = jnp.int32(0)
+                for _meta, res in blocks(wnt, ln, wht, lh):
+                    if res is not None:
+                        total = total + jnp.sum(res[0], dtype=jnp.int32)
+                return total
+
+        else:
+
+            @jax.jit
+            def run(wnt, ln, wht, lh):
+                contains = jnp.zeros((n, h), jnp.bool_)
+                first = jnp.full((n, h), -1, jnp.int32)
+                for (i0, j0, mi_b), res in blocks(wnt, ln, wht, lh):
+                    if res is None:
+                        continue
+                    c, f = res
+                    f = jnp.where(f >= mi_b, -1, f)
+                    contains = jax.lax.dynamic_update_slice(
+                        contains, c, (i0, j0)
+                    )
+                    first = jax.lax.dynamic_update_slice(first, f, (i0, j0))
+                return contains, first
+
+        return run
+
+    def _matrices_device(self, haystacks=None):
+        hit = self._cache_get("mat", haystacks)
+        if hit is not None:
+            return hit
+        plan, wht, lh, _mi, n, h = self._plan(haystacks)
+        run = self._fused(plan, n, h, "matrices")
+        out = run(self._wnt, self._ln, wht, lh)
+        return self._cache_put("mat", haystacks, out)
+
     def contains_matrix(self, haystacks=None) -> np.ndarray:
-        nh = len(self.needles if haystacks is None else haystacks)
-        out = np.zeros((self._wnt.shape[1], nh), dtype=bool)
-        for (i0, j0), _mi, res in self._blocks(haystacks):
-            if res is None:
-                continue  # skipped block: stays all-False
-            c, _f = res
-            out[i0 : i0 + c.shape[0], j0 : j0 + c.shape[1]] = np.asarray(c)
-        return out
+        return np.asarray(self._matrices_device(haystacks)[0])
 
     def first_matrix(self, haystacks=None) -> np.ndarray:
-        nh = len(self.needles if haystacks is None else haystacks)
-        out = np.full((self._wnt.shape[1], nh), -1, dtype=np.int32)
-        for (i0, j0), mi, res in self._blocks(haystacks):
-            if res is None:
-                continue  # skipped block: stays -1
-            _c, f = res
-            blk = np.array(f)  # writable copy (np.asarray of jax is RO)
-            blk[blk >= mi] = -1
-            out[i0 : i0 + blk.shape[0], j0 : j0 + blk.shape[1]] = blk
-        return out
+        return np.asarray(self._matrices_device(haystacks)[1])
 
     def count_matches_device(self, haystacks=None):
         """Total match count across all pairs, device-resident (the bench
         checksum: forces full evaluation, fetches one scalar)."""
-        total = None
-        for _, _mi, res in self._blocks(haystacks):
-            if res is None:
-                continue
-            t = jnp.sum(res[0], dtype=jnp.int32)
-            total = t if total is None else total + t
-        return total
+        plan, wht, lh, _mi, n, h = self._plan(haystacks)
+        run = self._fused(plan, n, h, "count")
+        return run(self._wnt, self._ln, wht, lh)
 
 
 def pairwise_contains_all(words: Sequence[bytes]) -> np.ndarray:
