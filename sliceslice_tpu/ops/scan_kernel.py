@@ -43,8 +43,10 @@ from .scan_math import SENTINEL, lane_first_offset, packed_windows
 
 LANES = 128
 
-#: Row-chunk height for probe evaluation (bounds live VMEM temporaries).
-CHUNK_ROWS = 512
+#: Row-chunk height for probe evaluation (bounds live VMEM temporaries;
+#: 1024 rows halves per-chunk scalar overhead vs 512 and still fits the
+#: Mosaic stack at the widest unrolled probe count).
+CHUNK_ROWS = 1024
 
 #: Probe-table widths up to this are fully unrolled against a shared slab;
 #: wider tables (long needles) loop probe pairs with pre-shifted scratch.
@@ -69,8 +71,15 @@ def _raw_batched_call(
     a per-shard ``base``; probe tables use width ``t`` with static slot
     offsets 4*t."""
     seg = s * LANES
-    cs = min(s, CHUNK_ROWS)
+    # Largest chunk height that divides s (every row must be scanned).
+    cs = s
+    for cand in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if cand <= CHUNK_ROWS and s % cand == 0:
+            cs = cand
+            break
+    cs = min(cs, s)
     n_chunks = s // cs
+    assert n_chunks * cs == s
     # Rows of packed windows the last probe slot may touch beyond a chunk.
     slab_extra = 4 * (t - 1)
     unrolled = t <= PROBE_UNROLL
