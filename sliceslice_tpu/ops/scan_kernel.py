@@ -88,9 +88,21 @@ def _raw_batched_call(
 
     def kernel(
         val_ref, msk_ref, base_ref, cols_ref, out_ref,
-        p_scr, p4_scr, flags_scr, remaining_scr,
+        p_scr, p4_scr, flags_scr, remaining_scr, ulist_scr,
     ):
         gi = pl.program_id(1)
+
+        # ulist_scr[0:remaining] holds the indices of still-unfound needles:
+        # the needle loop iterates ONLY those (exact early-exit economics —
+        # found needles cost zero, not even a flag check per segment).
+        @pl.when(gi == 0)
+        def _():
+            def ident(i, c):
+                ulist_scr[i] = i
+                return c
+
+            jax.lax.fori_loop(0, nblk, ident, 0)
+            remaining_scr[0] = nblk
 
         def _scan_segment(gi):
             # Build packed 4-byte windows for this segment (runs once per
@@ -111,14 +123,8 @@ def _raw_batched_call(
             lane_i = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 1)
             gpos0 = lane_i * s + row_i + seg_base
 
-            def needle_body(n, carry):
-                # Per-needle early exit (the reference's first-match early
-                # return, src/lib.rs:242-244, recovered at segment
-                # granularity): once a needle has matched, its global first
-                # offset is final — skip all remaining segments for it.
-                @pl.when(jnp.logical_or(gi == 0, flags_scr[n, 0] == 0))
-                def _scan_needle():
-                    _scan_one(n)
+            def needle_body(i, carry):
+                _scan_one(ulist_scr[i])
                 return carry
 
             def _scan_one(n):
@@ -197,20 +203,34 @@ def _raw_batched_call(
                 fin = jnp.minimum(prev, mins)
                 out_ref[n, :] = fin.reshape(LANES)
 
-            jax.lax.fori_loop(0, nblk, needle_body, 0)
+            prev_cnt = remaining_scr[0]
+            jax.lax.fori_loop(0, prev_cnt, needle_body, 0)
 
             # Found flags for the whole block in ONE vectorized cross-lane
             # reduce (per-needle scalar reduces are ~1.5k cycles each on the
-            # VPU; this is the same information for 1/nblk the cost).
+            # VPU), then left-compact the unfound list in place (reads run
+            # ahead of writes, so in-place is safe).  This is the reference's
+            # first-match early return (src/lib.rs:242-244) at segment
+            # granularity.
             block = out_ref[:]
             found = (
                 jnp.min(block, axis=1, keepdims=True) < SENTINEL
             ).astype(jnp.int32)
             flags_scr[:, :] = found
-            remaining_scr[0] = nblk - jnp.sum(found)
 
-        # Skip the whole segment when every needle in the block is already
-        # found (in-kernel analogue of the reference's early exit).
+            def compact(i, cnt):
+                n = ulist_scr[i]
+                keep = (flags_scr[n, 0] == 0).astype(jnp.int32)
+
+                @pl.when(keep == 1)
+                def _():
+                    ulist_scr[cnt] = n
+
+                return cnt + keep
+
+            remaining_scr[0] = jax.lax.fori_loop(0, prev_cnt, compact, 0)
+
+        # Skip the segment outright once every needle in the block is found.
         @pl.when(jnp.logical_or(gi == 0, remaining_scr[0] > 0))
         def _segment():
             _scan_segment(gi)
@@ -235,6 +255,7 @@ def _raw_batched_call(
             pltpu.VMEM((h - 7 if not unrolled else 8, LANES), jnp.uint32),
             pltpu.VMEM((nblk, 1), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((nblk,), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
