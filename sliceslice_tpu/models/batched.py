@@ -40,7 +40,11 @@ WIDE_T_BUCKETS = (16, 32, 64, 128, 256, 512)
 
 def _t_bucket(t: int) -> int:
     if t <= scan_kernel.PROBE_UNROLL:
-        return max(t, 1)
+        # Even widths: merging odd-T needles up one slot costs one vector
+        # pass but halves the kernel count (fixed costs per group dominate
+        # a narrow group's probes).
+        t = max(t, 1)
+        return t + (t % 2)
     for b in WIDE_T_BUCKETS:
         if t <= b:
             return b

@@ -130,9 +130,13 @@ def _raw_batched_call(
             def _scan_one(n):
                 if unrolled:
                     vals = [val_ref[n, ti] for ti in range(t)]
-                    # Only the final slot's mask is ever applied; skip the
-                    # other SMEM reads (they add up in the needle loop).
+                    # Only the last two slots can carry masks (a needle of
+                    # width t-1 merged into this group has its narrowed slot
+                    # at t-2, its no-op slot at t-1); earlier slots are full
+                    # windows by construction and compare without masks.
                     last_msk = msk_ref[n, t - 1]
+                    if t >= 2:
+                        pen_msk = msk_ref[n, t - 2]
 
                 def chunk_body(ci, mins):
                     row0 = pl.multiple_of(ci * cs, cs)
@@ -149,16 +153,16 @@ def _raw_batched_call(
                         if t == 1:
                             acc = ((slab[0:cs, :] ^ vals[0]) & last_msk) == 0
                         else:
-                            acc = slab[0:cs, :] == vals[0]
-                            for ti in range(1, t - 1):
+                            acc = None
+                            for ti in range(t - 2):
                                 eq = slab[4 * ti : 4 * ti + cs, :] == vals[ti]
-                                acc = jnp.logical_and(acc, eq)
-                            ti = t - 1
-                            eq = (
-                                (slab[4 * ti : 4 * ti + cs, :] ^ vals[ti])
-                                & last_msk
-                            ) == 0
-                            acc = jnp.logical_and(acc, eq)
+                                acc = eq if acc is None else jnp.logical_and(acc, eq)
+                            for ti, m in ((t - 2, pen_msk), (t - 1, last_msk)):
+                                eq = (
+                                    (slab[4 * ti : 4 * ti + cs, :] ^ vals[ti])
+                                    & m
+                                ) == 0
+                                acc = eq if acc is None else jnp.logical_and(acc, eq)
                     else:
                         # Long needles: loop probe pairs; offsets stay
                         # 8-aligned.  The accumulator is carried as uint32 —
@@ -324,11 +328,12 @@ def batched_find_cols(
     the tiled haystack.  ``base`` is added to all reported offsets (global
     offset of this shard's first byte, for the distributed scanner).
 
-    CONTRACT: the probe table must be width-homogeneous — every slot except
-    the last holds a full-mask 4-byte window (the kernel compares non-final
-    slots without masks).  Tables built per width group (models/batched.py,
-    parallel/shard_scan.py) satisfy this by construction; padded rows
-    (all-zero masks) are permitted only when their ``end`` is 0."""
+    CONTRACT: every probe slot except the last two must hold a full-mask
+    4-byte window (the kernel compares earlier slots without masks; the last
+    two use their masks, so tables may mix needles of width t and t-1).
+    Tables built per width group (models/batched.py, parallel/shard_scan.py)
+    satisfy this by construction; padded rows (all-zero masks) are permitted
+    only when their ``end`` is 0."""
     g, h, lanes = cols.shape
     assert lanes == LANES
     n, t = values.shape
