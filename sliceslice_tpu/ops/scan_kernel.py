@@ -80,8 +80,6 @@ def _raw_batched_call(
     cs = min(cs, s)
     n_chunks = s // cs
     assert n_chunks * cs == s
-    # Rows of packed windows the last probe slot may touch beyond a chunk.
-    slab_extra = 4 * (t - 1)
     unrolled = t <= PROBE_UNROLL
     if not unrolled and t % 2:
         raise ValueError("probe widths beyond PROBE_UNROLL must be even")
@@ -106,13 +104,12 @@ def _raw_batched_call(
 
         def _scan_segment(gi):
             # Build packed 4-byte windows for this segment (runs once per
-            # grid step; amortized over the nblk needles scanned below).
+            # grid step; amortized over the nblk needles scanned below),
+            # plus a +4-row pre-shifted copy: probe slot ti then reads one
+            # of the two at an 8-row-aligned offset — no per-chunk slab
+            # materialization and no unaligned dynamic slices.
             p_scr[:] = packed_windows(cols_ref[0])
-            if not unrolled:
-                # +4-row pre-shifted copy so the probe loop below can step
-                # in 8-row (one uint32 sublane tile) strides with both
-                # probes of a pair reading sublane-aligned slices.
-                p4_scr[:] = p_scr[4 : 4 + (h - 7), :]
+            p4_scr[:] = p_scr[4 : 4 + (h - 7), :]
             seg_base = base_ref[0] + gi * seg
             # Hoisted per-step position plane: global offset of (row,
             # lane) in chunk 0 of this segment.  Matches are NOT masked
@@ -140,28 +137,32 @@ def _raw_batched_call(
 
                 def chunk_body(ci, mins):
                     row0 = pl.multiple_of(ci * cs, cs)
+
+                    def windows(ti):
+                        # Slot ti's windows from the aligned scratch pair:
+                        # even ti from P, odd ti from the +4-shifted copy —
+                        # both at 8-row-aligned dynamic offsets.
+                        src = p_scr if ti % 2 == 0 else p4_scr
+                        off = pl.multiple_of(row0 + 4 * (ti - ti % 2), 8)
+                        return src[pl.ds(off, cs), :]
+
                     if unrolled:
                         # Straight-line unrolled probes — no per-slot
                         # branches (scf.cond with vector results forces
                         # register spills); mixed-length batches are instead
-                        # split into exact-width groups by the callers.  All
-                        # slots except the last hold full 4-byte windows by
-                        # construction (needle.py), so they compare
-                        # directly; only the final slot needs its
-                        # mask-narrowed form.
-                        slab = p_scr[pl.ds(row0, cs + slab_extra), :]
+                        # split into exact-width groups by the callers.
+                        # Slots below t-2 hold full 4-byte windows by
+                        # construction (needle.py) and compare without
+                        # masks; the last two slots use their masks.
                         if t == 1:
-                            acc = ((slab[0:cs, :] ^ vals[0]) & last_msk) == 0
+                            acc = ((windows(0) ^ vals[0]) & last_msk) == 0
                         else:
                             acc = None
                             for ti in range(t - 2):
-                                eq = slab[4 * ti : 4 * ti + cs, :] == vals[ti]
+                                eq = windows(ti) == vals[ti]
                                 acc = eq if acc is None else jnp.logical_and(acc, eq)
                             for ti, m in ((t - 2, pen_msk), (t - 1, last_msk)):
-                                eq = (
-                                    (slab[4 * ti : 4 * ti + cs, :] ^ vals[ti])
-                                    & m
-                                ) == 0
+                                eq = ((windows(ti) ^ vals[ti]) & m) == 0
                                 acc = eq if acc is None else jnp.logical_and(acc, eq)
                     else:
                         # Long needles: loop probe pairs; offsets stay
@@ -256,7 +257,7 @@ def _raw_batched_call(
         out_shape=jax.ShapeDtypeStruct((n_pad, LANES), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((h - 3, LANES), jnp.uint32),
-            pltpu.VMEM((h - 7 if not unrolled else 8, LANES), jnp.uint32),
+            pltpu.VMEM((h - 7, LANES), jnp.uint32),
             pltpu.VMEM((nblk, 1), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SMEM((nblk,), jnp.int32),
