@@ -21,8 +21,10 @@ src/lib.rs:199-287), re-designed for the TPU VPU:
   first-offset accumulation stays resident in the output block (revisited
   blocks are only valid with the accumulation dim innermost), while segment
   DMA double-buffers against compute;
-* inside a grid step: row-chunk loop outermost (one aligned slab load shared
-  by the whole needle block), needles innermost.
+* inside a grid step the needle loop iterates a left-compacted SMEM list of
+  still-unfound needles (exact early-exit economics), with probe windows
+  read from an 8-row-aligned scratch pair (P and P+4) — no unaligned
+  dynamic slices, no per-chunk slab materialization.
 
 Outputs are per-needle first-match offsets (int32, SENTINEL when absent) —
 a strict superset of the reference's bool ``search_in``.
