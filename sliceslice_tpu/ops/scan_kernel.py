@@ -379,17 +379,28 @@ def _memchr_call(g: int, h: int, s: int, interpret: bool):
     raw byte tile with no window packing."""
     seg = s * LANES
 
-    def kernel(byte_ref, end_ref, base_ref, cols_ref, out_ref):
+    def kernel(byte_ref, end_ref, base_ref, cols_ref, out_ref, found_scr):
         gi = pl.program_id(0)
-        seg_base = base_ref[0] + gi * seg
-        # Mosaic on v5e has no native 8-bit vector compare; widen to int32.
-        tile = cols_ref[0, :s, :].astype(jnp.int32)
-        match = tile == byte_ref[0]
-        lane_min = lane_first_offset(match, end_ref[0] - seg_base, s, 0, seg_base)
-        prev = jnp.where(
-            gi == 0, jnp.int32(SENTINEL), out_ref[0, :].reshape(1, LANES)
-        )
-        out_ref[0, :] = jnp.minimum(prev, lane_min).reshape(LANES)
+
+        def _scan():
+            seg_base = base_ref[0] + gi * seg
+            # v5e Mosaic has no native 8-bit vector compare; widen to int32.
+            tile = cols_ref[0, :s, :].astype(jnp.int32)
+            match = tile == byte_ref[0]
+            lane_min = lane_first_offset(
+                match, end_ref[0] - seg_base, s, 0, seg_base
+            )
+            prev = jnp.where(
+                gi == 0, jnp.int32(SENTINEL), out_ref[0, :].reshape(1, LANES)
+            )
+            fin = jnp.minimum(prev, lane_min)
+            out_ref[0, :] = fin.reshape(LANES)
+            found_scr[0] = (jnp.min(fin) < SENTINEL).astype(jnp.int32)
+
+        # First-byte-found early exit across segments (memchr semantics).
+        @pl.when(jnp.logical_or(gi == 0, found_scr[0] == 0))
+        def _():
+            _scan()
 
     return pl.pallas_call(
         kernel,
@@ -406,6 +417,7 @@ def _memchr_call(g: int, h: int, s: int, interpret: bool):
             (1, LANES), lambda gi: (0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
