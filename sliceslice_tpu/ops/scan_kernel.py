@@ -50,8 +50,8 @@ LANES = 128
 #: Mosaic stack at the widest unrolled probe count).
 CHUNK_ROWS = 1024
 
-#: Probe-table widths up to this are fully unrolled against a shared slab;
-#: wider tables (long needles) loop probe pairs with pre-shifted scratch.
+#: Probe-table widths up to this are fully unrolled; wider tables (long
+#: needles) loop probe pairs.  Both paths read the aligned (P, P+4) pair.
 PROBE_UNROLL = 8
 
 
@@ -340,6 +340,18 @@ def batched_find_cols(
     g, h, lanes = cols.shape
     assert lanes == LANES
     n, t = values.shape
+    if isinstance(masks, np.ndarray) and t > 2:
+        # Contract guard (host tables only; device tables are produced by
+        # the grouped builders which satisfy it by construction): slots
+        # below t-2 must be full-mask.
+        body = masks[:, : t - 2]
+        if not ((body == 0xFFFFFFFF) | (body == 0)).all() or (
+            (body == 0).any(axis=1) & (masks[:, t - 2 :] != 0).any(axis=1)
+        ).any():
+            raise ValueError(
+                "probe table violates width contract: non-final slots must "
+                "be full-mask (group needles by ceil(k/4) width)"
+            )
     if t > PROBE_UNROLL and t % 2:
         # Pair-looped path needs an even width; a mask-0 slot is a no-op.
         values = np.pad(np.asarray(values), ((0, 0), (0, 1)))

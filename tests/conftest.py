@@ -8,10 +8,16 @@ NOTE: the platform MUST be switched via jax.config after import — setting
 JAX_PLATFORMS=cpu in the environment hangs the axon boot hook.
 """
 
+import os
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+# Default: CPU interpreter + 8 virtual devices (fast, hardware-free).
+# SLICESLICE_TEST_TPU=1 runs the suite against the real chip instead
+# (use for the @slow full-conformance sweeps).
+if os.environ.get("SLICESLICE_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest
