@@ -184,15 +184,10 @@ def preprocess(
     )
 
 
-def flat_positions(s: int, g_index: int) -> None:
-    """Documentation helper: flat position of (row, lane) in segment g is
-    ``g * s * LANES + lane * s + row``.  Kernels compute this with two
-    broadcasted iotas; kept here as the single source of truth for tests."""
-    raise NotImplementedError("use position_grid")
-
-
 def position_grid(s: int) -> np.ndarray:
-    """int32[(s, LANES)] of flat in-segment positions: pos = lane*s + row."""
+    """int32[(s, LANES)] of flat in-segment positions: ``pos = lane*s + row``
+    (segment g adds ``g * s * LANES``).  The layout's position convention in
+    one place; kernels compute the same thing with broadcasted iotas."""
     rows = np.arange(s, dtype=np.int32)[:, None]
     lanes = np.arange(LANES, dtype=np.int32)[None, :]
     return lanes * s + rows
