@@ -34,9 +34,7 @@ def main():
         hay = hay[: 64 * 1024]
         words = words[:64]
 
-    # 512-row (64 KiB) segments: with the in-kernel unfound-list compaction
-    # skipped segments cost zero, so fine granularity wins (tuned on v5e).
-    dh = st.preprocess(hay, kh=24, seg_rows=512 if on_tpu else None)
+    dh = st.preprocess(hay, kh=24)  # default plan: 64 KiB segments here
     bs = st.BatchedSearcher(words)
 
     # Correctness gate first: the number is meaningless if parity fails.

@@ -68,13 +68,20 @@ def plan_layout(length: int, kh: int) -> tuple[int, int]:
     haystacks use balanced segments so trailing-pad waste stays small.
     """
     kh_rows = round_up(max(kh, MIN_KH), 32)
-    cap = SEG_CAP_ROWS * LANES
-    if length <= cap:
+    if length <= 64 * 1024:
         rows = max(32, -(-length // LANES))
         s = max(32 * next_pow2(-(-rows // 32)), kh_rows)
         return min(s, SEG_CAP_ROWS), 1
-    g = -(-length // cap)
-    s = max(round_up(-(-length // (g * LANES)), 512), kh_rows)
+    # Multi-segment: small segments give the kernels' early exit fine
+    # granularity (a skipped segment costs zero), but each segment revisit
+    # re-streams the output block — so cap the segment count at ~64 and let
+    # segments grow with the corpus (512 rows up to ~4 MiB, then larger, up
+    # to the VMEM-bounded SEG_CAP_ROWS).
+    s = 512
+    while length > 64 * (s * LANES) and s < SEG_CAP_ROWS:
+        s *= 2
+    s = max(s, kh_rows)
+    g = max(1, -(-length // (s * LANES)))
     return s, g
 
 

@@ -19,8 +19,13 @@ def test_plan_layout_buckets():
     assert (s, g) == (32, 1)
     s, g = plan_layout(50_000, 3)
     assert g == 1 and s * LANES >= 50_000 and s % 32 == 0
-    s, g = plan_layout(SEG_CAP_ROWS * LANES + 1, 3)
-    assert g == 2 and s % 512 == 0 and g * s * LANES >= SEG_CAP_ROWS * LANES + 1
+    # Mid-size corpora get fine-grained segments for the early exit.
+    s, g = plan_layout(900_000, 3)
+    assert s == 512 and g * s * LANES >= 900_000
+    # Huge corpora: segment count capped (~64), segments grow.
+    s, g = plan_layout(400 * 1024 * 1024, 3)
+    assert s == SEG_CAP_ROWS and g * s * LANES >= 400 * 1024 * 1024
+    assert g == -(-400 * 1024 * 1024 // (SEG_CAP_ROWS * LANES))
     # Large halo forces segment rows to cover it.
     s, g = plan_layout(100, 63)
     assert s >= 64
