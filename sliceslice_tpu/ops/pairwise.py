@@ -4,13 +4,16 @@ The reference's short-haystack bench/conformance sweep searches every
 dictionary word in every same-or-longer word, one `search_in` call per pair
 (~10.5M calls, bench/benches/i386.rs:16-155, tests/i386.rs:46-59).  The TPU
 re-expression evaluates a whole (needle-block x haystack-block) tile of pairs
-per device op: for each needle byte index j, one fused broadcast compare
+per device op, using the same packed-window probes as the long-haystack
+kernel: needle n is ``T = ceil(k/4)`` masked uint32 window compares, and for
+candidate position i, probe slot t is one fused broadcast compare
 
-    eq[n, h, i] = W[n, j] == W[h, i + j]        (i = candidate position)
+    eq[n, h] = ((win32(h, i + 4t) ^ value[t, n]) & mask[t, n]) == 0
 
-ANDed over j with j >= len(n) masked true, then validity ``i <= len(h) -
-len(n)`` and an any/min reduction over i.  Work is O(N*H*I*J) byte-compares
-on the VPU with ~J big fused ops per tile — no per-pair dispatch at all.
+ANDed over slots (a mask-0 slot is trivially true, so mixed lengths need no
+extra masking), then validity ``i <= len(h) - len(n)`` and a min reduction
+over i.  Work is O(N*H*I*ceil(J/4)) vector ops — 4x fewer inner steps than
+byte-at-a-time — with no per-pair dispatch at all.
 """
 
 from __future__ import annotations
@@ -44,29 +47,28 @@ def max_len(words: Sequence[bytes]) -> int:
     return max((len(w) for w in words), default=1) or 1
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def _pair_block(wnt, ln, wht, lh, jn, mi):
-    """Transposed word blocks: wnt (jn, Nb) u8, wht (mi+jn, Hb) u8 ->
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _pair_block(valt, mskt, ln, pht, lh, tn, mi):
+    """Probe-table needle block x packed-window haystack block:
+    valt/mskt (tn, Nb) u32, pht (>= mi + 4*tn - 4 rows, Hb) u32 ->
     contains (Nb, Hb) bool, first (Nb, Hb) int32 (mi = no-match sentinel).
 
-    Scans candidate position i with a small (Nb, Hb) carry; the j-chain is
-    statically unrolled so XLA fuses it into one pass per i.  Word bytes live
-    along sublanes, so the dynamic ``i + j`` row extraction is cheap.
+    Scans candidate position i with a small (Nb, Hb) carry; the probe chain
+    is statically unrolled so XLA fuses it into one pass per i.  Windows
+    live along sublanes, so the dynamic ``i + 4t`` row extraction is cheap;
+    mask-0 slots are trivially true (mixed lengths, empty needles included).
     """
-    nb = wnt.shape[1]
-    hb = wht.shape[1]
+    nb = valt.shape[1]
+    hb = pht.shape[1]
     limit = lh[None, :] - ln[:, None]  # (Nb, Hb): valid i <= len(h)-len(n)
-    dead = jnp.arange(jn, dtype=jnp.int32)[:, None] >= ln[None, :]  # (jn, Nb)
 
     def i_step(first, i):
         m = None
-        for j in range(jn):
+        for t in range(tn):
             hrow = jax.lax.dynamic_index_in_dim(
-                wht, i + j, axis=0, keepdims=False
-            )  # (Hb,)
-            eq = jnp.logical_or(
-                wnt[j][:, None] == hrow[None, :], dead[j][:, None]
-            )
+                pht, i + 4 * t, axis=0, keepdims=False
+            )  # (Hb,) uint32 windows
+            eq = ((hrow[None, :] ^ valt[t][:, None]) & mskt[t][:, None]) == 0
             m = eq if m is None else jnp.logical_and(m, eq)
         hit = jnp.logical_and(m, i <= limit)
         # Carry only the first-offset plane; containment is first < mi.
@@ -76,9 +78,6 @@ def _pair_block(wnt, ln, wht, lh, jn, mi):
     first, _ = jax.lax.scan(
         i_step, first0, jnp.arange(mi, dtype=jnp.int32)
     )
-    # Empty needle: matches at 0 even in an empty haystack.
-    empty = (ln == 0)[:, None]
-    first = jnp.where(empty, 0, first)
     return first < mi, first
 
 
@@ -91,13 +90,15 @@ class PairwiseSearcher:
     """
 
     def __init__(self, needles: Sequence[bytes], block: int = BLOCK):
+        from ..needle import build_probe_table
+
         self.needles = [bytes(w) for w in needles]
         self.block = block
         self.jn = self._bucket(max_len(self.needles))
-        arr, lens = pack_words(self.needles, self.jn)
-        # int32 storage: v5e has no native 8-bit vector compare and XLA's
-        # widening path is slow; words are tiny so 4x memory is free.
-        self._wnt = jnp.asarray(arr.T.copy().astype(np.int32))  # (jn, N)
+        self.tn = -(-self.jn // 4)
+        vals, msks, lens = build_probe_table(self.needles, t_max=self.tn)
+        self._valt = jnp.asarray(vals.T.copy())  # (tn, N) uint32
+        self._mskt = jnp.asarray(msks.T.copy())
         self._ln = jnp.asarray(lens)
         self._hay_cache: dict = {}
 
@@ -121,8 +122,12 @@ class PairwiseSearcher:
             return hit
         hs = self.needles if haystacks is None else haystacks
         mi = self._bucket(max_len(hs))
-        arr, lens = pack_words(hs, mi + self.jn)
-        out = (jnp.asarray(arr.T.copy().astype(np.int32)), jnp.asarray(lens), mi)
+        arr, lens = pack_words(hs, mi + 4 * self.tn)
+        # Packed little-endian 4-byte windows per word, positions along
+        # sublanes: pht[r, h] = window of word h at byte offset r.
+        a = arr.T.astype(np.uint32)  # (W, H)
+        pht = a[:-3] | (a[1:-2] << 8) | (a[2:-1] << 16) | (a[3:] << 24)
+        out = (jnp.asarray(pht), jnp.asarray(lens), mi)
         return self._cache_put("pack", haystacks, out)
 
     @staticmethod
@@ -139,26 +144,26 @@ class PairwiseSearcher:
         global max: kernel shapes are bucketed per block pair, and
         needle-blocks whose shortest needle exceeds the haystack-block's
         longest word are skipped outright (all-false / no-match)."""
-        wht, lh, mi = self._pack_hay(haystacks)
+        pht, lh, mi = self._pack_hay(haystacks)
         hit = self._cache_get("plan", haystacks)
         if hit is not None:
             return hit
         ln_np = np.asarray(self._ln)
         lh_np = np.asarray(lh)
-        n, h = self._wnt.shape[1], wht.shape[1]
+        n, h = self._valt.shape[1], pht.shape[1]
         b = self.block
         plan = []
         for i0 in range(0, n, b):
             ln_blk = ln_np[i0 : i0 + b]
-            jn_b = self._bucket(max(int(ln_blk.max()), 1))
+            tn_b = -(-self._bucket(max(int(ln_blk.max()), 1)) // 4)
             for j0 in range(0, h, b):
                 lh_blk = lh_np[j0 : j0 + b]
                 if int(ln_blk.min()) > int(lh_blk.max()):
                     plan.append((i0, j0, 0, 0))  # skipped
                     continue
                 mi_b = self._bucket(max(int(lh_blk.max()), 1))
-                plan.append((i0, j0, jn_b, mi_b))
-        out = (tuple(plan), wht, lh, mi, n, h)
+                plan.append((i0, j0, tn_b, mi_b))
+        out = (tuple(plan), pht, lh, mi, n, h)
         return self._cache_put("plan", haystacks, out)
 
     @functools.lru_cache(maxsize=32)
@@ -167,26 +172,27 @@ class PairwiseSearcher:
         requested reduction — host dispatch independent of block count."""
         b = self.block
 
-        def blocks(wnt, ln, wht, lh):
-            for (i0, j0, jn_b, mi_b) in plan:
-                if jn_b == 0:
+        def blocks(valt, mskt, ln, pht, lh):
+            for (i0, j0, tn_b, mi_b) in plan:
+                if tn_b == 0:
                     yield (i0, j0, 0), None
                     continue
                 yield (i0, j0, mi_b), _pair_block(
-                    wnt[:jn_b, i0 : i0 + b],
+                    valt[:tn_b, i0 : i0 + b],
+                    mskt[:tn_b, i0 : i0 + b],
                     ln[i0 : i0 + b],
-                    wht[: mi_b + jn_b, j0 : j0 + b],
+                    pht[: mi_b + 4 * tn_b - 3, j0 : j0 + b],
                     lh[j0 : j0 + b],
-                    jn_b,
+                    tn_b,
                     mi_b,
                 )
 
         if want == "count":
 
             @jax.jit
-            def run(wnt, ln, wht, lh):
+            def run(valt, mskt, ln, pht, lh):
                 total = jnp.int32(0)
-                for _meta, res in blocks(wnt, ln, wht, lh):
+                for _meta, res in blocks(valt, mskt, ln, pht, lh):
                     if res is not None:
                         total = total + jnp.sum(res[0], dtype=jnp.int32)
                 return total
@@ -194,10 +200,10 @@ class PairwiseSearcher:
         else:
 
             @jax.jit
-            def run(wnt, ln, wht, lh):
+            def run(valt, mskt, ln, pht, lh):
                 contains = jnp.zeros((n, h), jnp.bool_)
                 first = jnp.full((n, h), -1, jnp.int32)
-                for (i0, j0, mi_b), res in blocks(wnt, ln, wht, lh):
+                for (i0, j0, mi_b), res in blocks(valt, mskt, ln, pht, lh):
                     if res is None:
                         continue
                     c, f = res
@@ -214,9 +220,9 @@ class PairwiseSearcher:
         hit = self._cache_get("mat", haystacks)
         if hit is not None:
             return hit
-        plan, wht, lh, _mi, n, h = self._plan(haystacks)
+        plan, pht, lh, _mi, n, h = self._plan(haystacks)
         run = self._fused(plan, n, h, "matrices")
-        out = run(self._wnt, self._ln, wht, lh)
+        out = run(self._valt, self._mskt, self._ln, pht, lh)
         return self._cache_put("mat", haystacks, out)
 
     def contains_matrix(self, haystacks=None) -> np.ndarray:
@@ -228,9 +234,9 @@ class PairwiseSearcher:
     def count_matches_device(self, haystacks=None):
         """Total match count across all pairs, device-resident (the bench
         checksum: forces full evaluation, fetches one scalar)."""
-        plan, wht, lh, _mi, n, h = self._plan(haystacks)
+        plan, pht, lh, _mi, n, h = self._plan(haystacks)
         run = self._fused(plan, n, h, "count")
-        return run(self._wnt, self._ln, wht, lh)
+        return run(self._valt, self._mskt, self._ln, pht, lh)
 
 
 def pairwise_contains_all(words: Sequence[bytes]) -> np.ndarray:
