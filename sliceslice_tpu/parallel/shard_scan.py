@@ -174,32 +174,53 @@ def _sharded_homogeneous(
 
 
 class ShardedBatchedSearcher:
-    """BatchedSearcher over a device mesh: same API, sharded execution."""
+    """BatchedSearcher over a device mesh: same API, sharded execution.
+
+    Probe tables and the sharded corpus are placed on the mesh once and
+    cached (keyed by corpus identity), so repeated sweeps issue no
+    device_put traffic — the multi-chip analogue of the single-chip fused
+    sweep's pre-padded device tables."""
 
     def __init__(self, needles, mesh: Mesh, position=None):
         from ..models.batched import BatchedSearcher
 
         self.inner = BatchedSearcher(needles, position)
         self.mesh = mesh
+        self._placed_tables = None
+        self._placed_corpus: dict = {}
 
     def __len__(self):
         return len(self.inner)
 
+    def _tables(self, hay_len: int):
+        tabs = []
+        for grp in self.inner.groups:
+            tabs.append(
+                (
+                    jax.device_put(grp.values_dev, table_sharding(self.mesh)),
+                    jax.device_put(grp.masks_dev, table_sharding(self.mesh)),
+                    jax.device_put(
+                        grp.ends_dev(hay_len),
+                        NamedSharding(self.mesh, P(NEEDLE_AXIS)),
+                    ),
+                )
+            )
+        return tabs
+
     def find_all(self, dh: DeviceHaystack) -> np.ndarray:
         dh = self.inner._layout(dh)
         n = len(self.inner)
+        key = id(dh.cols)
+        hit = self._placed_corpus.get(key)
+        if hit is None or hit[0] is not dh.cols:
+            self._placed_corpus = {
+                key: (dh.cols, self._tables(dh.length))
+            }
+        tabs = self._placed_corpus[key][1]
         parts = []
         blobs = []
-        for grp in self.inner.groups:
-            parts.append(
-                sharded_find_cols(
-                    dh,
-                    grp.values_dev,
-                    grp.masks_dev,
-                    grp.ends_dev(dh.length),
-                    self.mesh,
-                )
-            )
+        for grp, (v, m, e) in zip(self.inner.groups, tabs):
+            parts.append(sharded_find_cols(dh, v, m, e, self.mesh))
             blobs.append(grp.indices.tobytes())
         from ..models.batched import _scatter_groups
 
