@@ -31,4 +31,6 @@ def test_entry_jits_and_runs(graft):
 
 @pytest.mark.parametrize("n", [2, 4, 8])
 def test_dryrun_multichip(graft, n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
     graft.dryrun_multichip(n)  # asserts exact parity internally

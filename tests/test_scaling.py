@@ -7,6 +7,16 @@ import numpy as np
 from sliceslice_tpu.ops.layout import preprocess
 from sliceslice_tpu.parallel import format_report, measure_scaling
 
+import jax
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8,
+    reason="needs an 8-device mesh (virtual CPU devices; run without "
+    "SLICESLICE_TEST_TPU on a single chip)",
+)
+
+
 
 def test_measure_scaling_exactness(rng):
     corpus = bytes(rng.integers(97, 103, (700_000,), dtype=np.uint8))

@@ -15,6 +15,12 @@ from sliceslice_tpu.parallel import (
     sharded_find_cols,
 )
 
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8,
+    reason="needs an 8-device mesh (virtual CPU devices; run without "
+    "SLICESLICE_TEST_TPU on a single chip)",
+)
+
 
 @pytest.fixture(scope="module")
 def corpus(rng=np.random.default_rng(7)):
