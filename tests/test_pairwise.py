@@ -67,3 +67,26 @@ def test_count_matches_device(rng):
     c_exp, _ = oracle_matrix(ws, ws)
     ps = PairwiseSearcher(ws, block=16)
     assert int(ps.count_matches_device()) == int(c_exp.sum())
+
+
+def test_pairwise_pallas_block_differential(rng):
+    """The Pallas pair-block (TPU hot path) against the oracle and the
+    portable XLA formulation, via the Pallas interpreter — the same
+    wasmtime-style coverage the kernel tests use."""
+    ws = random_words(rng, 35, max_len=14)
+    hs = random_words(rng, 50, max_len=18)
+    c_exp, f_exp = oracle_matrix(ws, hs)
+    pallas = PairwiseSearcher(ws, block=16, use_pallas=True)
+    xla = PairwiseSearcher(ws, block=16, use_pallas=False)
+    assert (pallas.contains_matrix(hs) == c_exp).all()
+    assert (pallas.first_matrix(hs) == f_exp).all()
+    assert (pallas.first_matrix(hs) == xla.first_matrix(hs)).all()
+    assert int(pallas.count_matches_device(hs)) == int(c_exp.sum())
+
+
+def test_pairwise_pallas_edge_cases():
+    ws = [b"", b"a", b"aa", b"ab", b"ba", b"aba", b"abcdefghijklmnop"]
+    c_exp, f_exp = oracle_matrix(ws, ws)
+    ps = PairwiseSearcher(ws, use_pallas=True)
+    assert (ps.contains_matrix() == c_exp).all()
+    assert (ps.first_matrix() == f_exp).all()
