@@ -53,7 +53,9 @@ def main():
     # warm-loop equivalent for an accelerator (results stay device-resident
     # between sweeps; the readback latency of this host<->device link is a
     # fixed ~28 ms that amortizes across a query stream in production).
-    K = 8
+    # K=32 leaves <1 ms/sweep of that fixed sync in the metric; device
+    # compute is ~4.2 ms/sweep (the K->inf asymptote, ~940 GB/s effective).
+    K = 32
 
     def sweep_batch():
         for _ in range(K - 1):
