@@ -40,11 +40,12 @@ WIDE_T_BUCKETS = (16, 32, 64, 128, 256, 512)
 
 def _t_bucket(t: int) -> int:
     if t <= scan_kernel.PROBE_UNROLL:
-        # Even widths: merging odd-T needles up one slot costs one vector
-        # pass but halves the kernel count (fixed costs per group dominate
-        # a narrow group's probes).
-        t = max(t, 1)
-        return t + (t % 2)
+        # Exact widths: with the whole sweep fused into one jit program,
+        # per-group fixed costs are negligible, and exact-width groups let
+        # the kernel compare slot t-2 without a mask (pen_full) — two fewer
+        # vector passes per (needle, chunk), four for k <= 4 needles that
+        # would otherwise ride in a t=2 group.
+        return max(t, 1)
     for b in WIDE_T_BUCKETS:
         if t <= b:
             return b
@@ -119,14 +120,17 @@ class BatchedSearcher:
         blobs = tuple(g.indices.tobytes() for g in self.groups)
         s = dh.s
         base0 = self._base0
+        # Exact-width groups (t <= unroll limit) carry full-mask slots below
+        # the final one; wide buckets still merge widths and keep masks.
+        pens = tuple(g.t <= scan_kernel.PROBE_UNROLL for g in self.groups)
 
         @jax.jit
         def sweep(cols, tables):
             parts = [
                 scan_kernel.batched_find_cols(
-                    cols, v, m, e, s=s, base=base0
+                    cols, v, m, e, s=s, base=base0, pen_full=pf
                 )
-                for (v, m, e) in tables
+                for (v, m, e), pf in zip(tables, pens)
             ]
             return _scatter_groups(n, blobs, parts)
 
@@ -219,6 +223,7 @@ class BatchedSearcher:
                         ends.astype(np.int32),
                         s=dh.s,
                         base=g0 * seg,
+                        pen_full=grp.t <= scan_kernel.PROBE_UNROLL,
                     )
                 )
                 found = sub < SENTINEL

@@ -56,6 +56,8 @@ class PallasSearcher(SearcherBase):
             np.asarray([end], np.int32),
             s=dh.s,
             nblk=1,
+            # Exact-width table: every slot below the final one is full-mask.
+            pen_full=self._values.shape[1] <= scan_kernel.PROBE_UNROLL,
         )[0]
 
 

@@ -64,6 +64,7 @@ def _raw_batched_call(
     nblk: int,
     n_pad: int,
     interpret: bool,
+    pen_full: bool = False,
 ):
     """Build the bare batched scan pallas_call:
     (values[n_pad,t]u32, masks[n_pad,t]u32, base[1]i32, cols[g,h,128]u8)
@@ -71,7 +72,16 @@ def _raw_batched_call(
 
     Exposed raw so the distributed scanner can call it inside shard_map with
     a per-shard ``base``; probe tables use width ``t`` with static slot
-    offsets 4*t."""
+    offsets 4*t.
+
+    ``pen_full``: the caller guarantees slot t-2 holds a full-mask 4-byte
+    window on every row (true for exact-width groups: a width-t needle has
+    k >= 4t-3 > 4(t-2)+3, so only its final slot narrows).  The kernel then
+    compares slot t-2 without a mask — two fewer vector passes per
+    (needle, chunk).  All-zero padded rows still compare (as window == 0);
+    their end = 0 filters any spurious match outside the kernel, and the
+    in-kernel early exit tolerates them (a padded needle "found" early just
+    stops costing work sooner)."""
     seg = s * LANES
     # Largest chunk height that divides s (every row must be scanned).
     cs = s
@@ -133,8 +143,9 @@ def _raw_batched_call(
                     # width t-1 merged into this group has its narrowed slot
                     # at t-2, its no-op slot at t-1); earlier slots are full
                     # windows by construction and compare without masks.
+                    # With pen_full, slot t-2 is full too (exact-width group).
                     last_msk = msk_ref[n, t - 1]
-                    if t >= 2:
+                    if t >= 2 and not pen_full:
                         pen_msk = msk_ref[n, t - 2]
 
                 def chunk_body(ci, mins):
@@ -160,10 +171,16 @@ def _raw_batched_call(
                             acc = ((windows(0) ^ vals[0]) & last_msk) == 0
                         else:
                             acc = None
-                            for ti in range(t - 2):
+                            n_full = t - 1 if pen_full else t - 2
+                            for ti in range(n_full):
                                 eq = windows(ti) == vals[ti]
                                 acc = eq if acc is None else jnp.logical_and(acc, eq)
-                            for ti, m in ((t - 2, pen_msk), (t - 1, last_msk)):
+                            masked = (
+                                ((t - 1, last_msk),)
+                                if pen_full
+                                else ((t - 2, pen_msk), (t - 1, last_msk))
+                            )
+                            for ti, m in masked:
                                 eq = ((windows(ti) ^ vals[ti]) & m) == 0
                                 acc = eq if acc is None else jnp.logical_and(acc, eq)
                     else:
@@ -281,11 +298,12 @@ def _batched_call(
     n_pad: int,
     n_out: int,
     interpret: bool,
+    pen_full: bool = False,
 ):
     """One fused device program: kernel + cross-lane min + end filter +
     unpad slice — a single dispatch per search call (dispatch latency
     matters more than any single pass here)."""
-    call = _raw_batched_call(g, h, s, t, nblk, n_pad, interpret)
+    call = _raw_batched_call(g, h, s, t, nblk, n_pad, interpret, pen_full)
 
     @jax.jit
     def run(values, masks, ends, base, cols):
@@ -326,10 +344,13 @@ def batched_find_cols(
     base: int | jax.Array = 0,
     nblk: int | None = None,
     interpret: bool | None = None,
+    pen_full: bool = False,
 ) -> jax.Array:
     """First-match offsets (int32[N], SENTINEL when absent) of N needles over
     the tiled haystack.  ``base`` is added to all reported offsets (global
     offset of this shard's first byte, for the distributed scanner).
+    ``pen_full``: caller guarantees slot t-2 is a full-mask window on every
+    non-padded row (exact-width tables) — saves two vector passes per chunk.
 
     CONTRACT: every probe slot except the last two must hold a full-mask
     4-byte window (the kernel compares earlier slots without masks; the last
@@ -340,13 +361,14 @@ def batched_find_cols(
     g, h, lanes = cols.shape
     assert lanes == LANES
     n, t = values.shape
-    if isinstance(masks, np.ndarray) and t > 2:
+    if isinstance(masks, np.ndarray) and t > (1 if pen_full else 2):
         # Contract guard (host tables only; device tables are produced by
         # the grouped builders which satisfy it by construction): slots
-        # below t-2 must be full-mask.
-        body = masks[:, : t - 2]
+        # below t-2 (t-1 with pen_full) must be full-mask.
+        body = masks[:, : t - 1] if pen_full else masks[:, : t - 2]
+        tail0 = t - 1 if pen_full else t - 2
         if not ((body == 0xFFFFFFFF) | (body == 0)).all() or (
-            (body == 0).any(axis=1) & (masks[:, t - 2 :] != 0).any(axis=1)
+            (body == 0).any(axis=1) & (masks[:, tail0:] != 0).any(axis=1)
         ).any():
             raise ValueError(
                 "probe table violates width contract: non-final slots must "
@@ -378,7 +400,7 @@ def batched_find_cols(
         ends = jnp.pad(ends, ((0, n_pad - n),))  # end=0 -> no valid
     if interpret is None:
         interpret = config.use_interpret()
-    run = _batched_call(g, h, s, t, nblk, n_pad, n, interpret)
+    run = _batched_call(g, h, s, t, nblk, n_pad, n, interpret, pen_full)
     if isinstance(base, (int, np.integer)):
         base = jnp.asarray([base], jnp.int32)
     return run(values, masks, ends, base.reshape(1), cols)
