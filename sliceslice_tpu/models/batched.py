@@ -57,9 +57,18 @@ class _Group:
     pre-padded to the kernel's block plan so the per-sweep hot path issues
     zero table-shaping dispatches."""
 
-    def __init__(self, indices: np.ndarray, needles: List[bytes], t: int):
+    def __init__(
+        self,
+        indices: np.ndarray,
+        needles: List[bytes],
+        t: int,
+        last_full: bool = False,
+    ):
         self.indices = indices
         self.t = t
+        #: every needle length divisible by 4 (exact-width group): the whole
+        #: probe chain runs mask-free in the kernel.
+        self.last_full = last_full
         self.n = len(needles)
         vals, msks, lens = build_probe_table(needles, t_max=t)
         self.lengths = lens
@@ -94,12 +103,22 @@ class BatchedSearcher:
         self.max_len = max((len(n) for n in self.needles), default=0)
         if self.max_len > MAX_NEEDLE_LEN:
             raise ValueError(f"needle longer than MAX_NEEDLE_LEN={MAX_NEEDLE_LEN}")
-        buckets: dict[int, list[int]] = {}
+        # Group by width only: splitting further (e.g. by k % 4 == 0 to run
+        # mask-free "last_full" kernels) measured NET SLOWER on the i386
+        # sweep — the per-(block, segment) fixed cost of extra groups
+        # (window rebuilds, flag reductions) exceeds the two saved passes.
+        buckets: dict[tuple[int, bool], list[int]] = {}
         for i, nd in enumerate(self.needles):
-            buckets.setdefault(_t_bucket(max(1, num_probes(len(nd)))), []).append(i)
+            t = _t_bucket(max(1, num_probes(len(nd))))
+            buckets.setdefault((t, False), []).append(i)
         self.groups = [
-            _Group(np.asarray(idx, np.int64), [self.needles[i] for i in idx], t)
-            for t, idx in sorted(buckets.items())
+            _Group(
+                np.asarray(idx, np.int64),
+                [self.needles[i] for i in idx],
+                t,
+                last_full=lf,
+            )
+            for (t, lf), idx in sorted(buckets.items())
         ]
         self.max_t = max((g.t for g in self.groups), default=1)
         self._base0 = jnp.asarray([0], jnp.int32)
@@ -122,15 +141,18 @@ class BatchedSearcher:
         base0 = self._base0
         # Exact-width groups (t <= unroll limit) carry full-mask slots below
         # the final one; wide buckets still merge widths and keep masks.
-        pens = tuple(g.t <= scan_kernel.PROBE_UNROLL for g in self.groups)
+        flags = tuple(
+            (g.t <= scan_kernel.PROBE_UNROLL, g.last_full)
+            for g in self.groups
+        )
 
         @jax.jit
         def sweep(cols, tables):
             parts = [
                 scan_kernel.batched_find_cols(
-                    cols, v, m, e, s=s, base=base0, pen_full=pf
+                    cols, v, m, e, s=s, base=base0, pen_full=pf, last_full=lf
                 )
-                for (v, m, e), pf in zip(tables, pens)
+                for (v, m, e), (pf, lf) in zip(tables, flags)
             ]
             return _scatter_groups(n, blobs, parts)
 
@@ -224,6 +246,7 @@ class BatchedSearcher:
                         s=dh.s,
                         base=g0 * seg,
                         pen_full=grp.t <= scan_kernel.PROBE_UNROLL,
+                        last_full=grp.last_full,
                     )
                 )
                 found = sub < SENTINEL

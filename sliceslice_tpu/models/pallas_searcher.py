@@ -56,8 +56,13 @@ class PallasSearcher(SearcherBase):
             np.asarray([end], np.int32),
             s=dh.s,
             nblk=1,
-            # Exact-width table: every slot below the final one is full-mask.
+            # Exact-width table: every slot below the final one is full-mask;
+            # for k divisible by 4 the final one is too.
             pen_full=self._values.shape[1] <= scan_kernel.PROBE_UNROLL,
+            last_full=(
+                self._values.shape[1] <= scan_kernel.PROBE_UNROLL
+                and k % 4 == 0
+            ),
         )[0]
 
 

@@ -65,10 +65,21 @@ def _raw_batched_call(
     n_pad: int,
     interpret: bool,
     pen_full: bool = False,
+    last_full: bool = False,
+    n_real: int | None = None,
 ):
     """Build the bare batched scan pallas_call:
-    (values[n_pad,t]u32, masks[n_pad,t]u32, base[1]i32, cols[g,h,128]u8)
-    -> lane-min offsets [n_pad, LANES] i32 (end mask NOT applied).
+    (values[n_pad,t]u32, masks[n_pad,t]u32, base[1]i32, row0[1]i32,
+    cols[g,h,128]u8) -> lane-min offsets [n_pad, LANES] i32 (end mask NOT
+    applied; rows >= n_real are never scanned and their output is
+    unspecified — callers slice them away).
+
+    ``n_real``: number of real (non-padded) table rows, counted globally
+    across shards; ``row0`` is this shard's first global row (0 single-chip,
+    ``axis_index(needle) * n_local`` sharded).  Each block seeds its unfound
+    list with only its real rows, so padded rows cost zero scan work — vital
+    for the mask-free (pen_full/last_full) kernels, where an all-zero padded
+    row would otherwise never self-satisfy and scan every segment.
 
     Exposed raw so the distributed scanner can call it inside shard_map with
     a per-shard ``base``; probe tables use width ``t`` with static slot
@@ -81,7 +92,15 @@ def _raw_batched_call(
     (needle, chunk).  All-zero padded rows still compare (as window == 0);
     their end = 0 filters any spurious match outside the kernel, and the
     in-kernel early exit tolerates them (a padded needle "found" early just
-    stops costing work sooner)."""
+    stops costing work sooner).
+
+    ``last_full``: additionally, every row's FINAL slot is full-mask (needle
+    lengths divisible by 4) — the whole probe chain is then plain compares,
+    no masks read at all.  Implies ``pen_full``."""
+    if last_full:
+        pen_full = True
+    if n_real is None:
+        n_real = n_pad
     seg = s * LANES
     # Largest chunk height that divides s (every row must be scanned).
     cs = s
@@ -97,22 +116,28 @@ def _raw_batched_call(
         raise ValueError("probe widths beyond PROBE_UNROLL must be even")
 
     def kernel(
-        val_ref, msk_ref, base_ref, cols_ref, out_ref,
+        val_ref, msk_ref, base_ref, row0_ref, cols_ref, out_ref,
         p_scr, p4_scr, flags_scr, remaining_scr, ulist_scr,
     ):
         gi = pl.program_id(1)
+        nbi = pl.program_id(0)
 
         # ulist_scr[0:remaining] holds the indices of still-unfound needles:
         # the needle loop iterates ONLY those (exact early-exit economics —
         # found needles cost zero, not even a flag check per segment).
+        # Seed with this block's REAL rows only: padded rows are excluded
+        # from the start and never cost a scan.
         @pl.when(gi == 0)
         def _():
+            start = row0_ref[0] + nbi * nblk
+            cnt = jnp.clip(n_real - start, 0, nblk)
+
             def ident(i, c):
                 ulist_scr[i] = i
                 return c
 
-            jax.lax.fori_loop(0, nblk, ident, 0)
-            remaining_scr[0] = nblk
+            jax.lax.fori_loop(0, cnt, ident, 0)
+            remaining_scr[0] = cnt
 
         def _scan_segment(gi):
             # Build packed 4-byte windows for this segment (runs once per
@@ -143,8 +168,10 @@ def _raw_batched_call(
                     # width t-1 merged into this group has its narrowed slot
                     # at t-2, its no-op slot at t-1); earlier slots are full
                     # windows by construction and compare without masks.
-                    # With pen_full, slot t-2 is full too (exact-width group).
-                    last_msk = msk_ref[n, t - 1]
+                    # With pen_full, slot t-2 is full too (exact-width
+                    # group); with last_full, every slot is.
+                    if not last_full:
+                        last_msk = msk_ref[n, t - 1]
                     if t >= 2 and not pen_full:
                         pen_msk = msk_ref[n, t - 2]
 
@@ -167,19 +194,22 @@ def _raw_batched_call(
                         # Slots below t-2 hold full 4-byte windows by
                         # construction (needle.py) and compare without
                         # masks; the last two slots use their masks.
-                        if t == 1:
+                        if t == 1 and last_full:
+                            acc = windows(0) == vals[0]
+                        elif t == 1:
                             acc = ((windows(0) ^ vals[0]) & last_msk) == 0
                         else:
                             acc = None
-                            n_full = t - 1 if pen_full else t - 2
+                            if last_full:
+                                n_full, masked = t, ()
+                            elif pen_full:
+                                n_full, masked = t - 1, ((t - 1, last_msk),)
+                            else:
+                                n_full = t - 2
+                                masked = ((t - 2, pen_msk), (t - 1, last_msk))
                             for ti in range(n_full):
                                 eq = windows(ti) == vals[ti]
                                 acc = eq if acc is None else jnp.logical_and(acc, eq)
-                            masked = (
-                                ((t - 1, last_msk),)
-                                if pen_full
-                                else ((t - 2, pen_msk), (t - 1, last_msk))
-                            )
                             for ti, m in masked:
                                 eq = ((windows(ti) ^ vals[ti]) & m) == 0
                                 acc = eq if acc is None else jnp.logical_and(acc, eq)
@@ -266,6 +296,7 @@ def _raw_batched_call(
             pl.BlockSpec((nblk, t), lambda nb, gi: (nb, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((nblk, t), lambda nb, gi: (nb, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda nb, gi: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda nb, gi: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, h, LANES), lambda nb, gi: (gi, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -299,15 +330,19 @@ def _batched_call(
     n_out: int,
     interpret: bool,
     pen_full: bool = False,
+    last_full: bool = False,
 ):
     """One fused device program: kernel + cross-lane min + end filter +
     unpad slice — a single dispatch per search call (dispatch latency
     matters more than any single pass here)."""
-    call = _raw_batched_call(g, h, s, t, nblk, n_pad, interpret, pen_full)
-
+    call = _raw_batched_call(
+        g, h, s, t, nblk, n_pad, interpret, pen_full, last_full,
+        n_real=n_out,
+    )
     @jax.jit
     def run(values, masks, ends, base, cols):
-        out = call(values, masks, base, cols)
+        row0 = jnp.zeros((1,), jnp.int32)
+        out = call(values, masks, base, row0, cols)
         first = jnp.min(out[:n_out], axis=-1)
         return jnp.where(first < ends[:n_out], first, SENTINEL)
 
@@ -345,12 +380,15 @@ def batched_find_cols(
     nblk: int | None = None,
     interpret: bool | None = None,
     pen_full: bool = False,
+    last_full: bool = False,
 ) -> jax.Array:
     """First-match offsets (int32[N], SENTINEL when absent) of N needles over
     the tiled haystack.  ``base`` is added to all reported offsets (global
     offset of this shard's first byte, for the distributed scanner).
     ``pen_full``: caller guarantees slot t-2 is a full-mask window on every
     non-padded row (exact-width tables) — saves two vector passes per chunk.
+    ``last_full``: every slot is full-mask (lengths divisible by 4, exact
+    width) — the probe chain is plain compares, no masks read.
 
     CONTRACT: every probe slot except the last two must hold a full-mask
     4-byte window (the kernel compares earlier slots without masks; the last
@@ -361,12 +399,18 @@ def batched_find_cols(
     g, h, lanes = cols.shape
     assert lanes == LANES
     n, t = values.shape
-    if isinstance(masks, np.ndarray) and t > (1 if pen_full else 2):
+    if t > PROBE_UNROLL:
+        # The pair-looped long-needle path always applies masks.
+        pen_full = last_full = False
+    if last_full:
+        pen_full = True
+    n_masked = 0 if last_full else (1 if pen_full else 2)
+    if isinstance(masks, np.ndarray) and t > n_masked:
         # Contract guard (host tables only; device tables are produced by
         # the grouped builders which satisfy it by construction): slots
-        # below t-2 (t-1 with pen_full) must be full-mask.
-        body = masks[:, : t - 1] if pen_full else masks[:, : t - 2]
-        tail0 = t - 1 if pen_full else t - 2
+        # below the masked tail must be full-mask.
+        body = masks[:, : t - n_masked]
+        tail0 = t - n_masked
         if not ((body == 0xFFFFFFFF) | (body == 0)).all() or (
             (body == 0).any(axis=1) & (masks[:, tail0:] != 0).any(axis=1)
         ).any():
@@ -400,7 +444,9 @@ def batched_find_cols(
         ends = jnp.pad(ends, ((0, n_pad - n),))  # end=0 -> no valid
     if interpret is None:
         interpret = config.use_interpret()
-    run = _batched_call(g, h, s, t, nblk, n_pad, n, interpret, pen_full)
+    run = _batched_call(
+        g, h, s, t, nblk, n_pad, n, interpret, pen_full, last_full
+    )
     if isinstance(base, (int, np.integer)):
         base = jnp.asarray([base], jnp.int32)
     return run(values, masks, ends, base.reshape(1), cols)

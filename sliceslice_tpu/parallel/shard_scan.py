@@ -49,6 +49,8 @@ def _sharded_call(
     nblk: int,
     n_pad: int,
     interpret: bool,
+    pen_full: bool = False,
+    n_real: int | None = None,
 ):
     n_data = mesh.shape[DATA_AXIS]
     n_needle = mesh.shape[NEEDLE_AXIS]
@@ -56,13 +58,19 @@ def _sharded_call(
     n_local = n_pad // n_needle
     seg = s * LANES
     raw = scan_kernel._raw_batched_call(
-        g_local, h, s, t, nblk, n_local, interpret
+        g_local, h, s, t, nblk, n_local, interpret, pen_full,
+        n_real=n_real,
     )
 
     def local_fn(cols_l, vals_l, msks_l, ends_l):
         shard = jax.lax.axis_index(DATA_AXIS)
         base = (shard * g_local * seg).astype(jnp.int32).reshape(1)
-        out = raw(vals_l, msks_l, base, cols_l)  # (n_local, LANES) lane mins
+        # Global row offset of this needle shard: the kernel skips padded
+        # rows (>= n_real) from its unfound list.
+        row0 = (
+            jax.lax.axis_index(NEEDLE_AXIS) * n_local
+        ).astype(jnp.int32).reshape(1)
+        out = raw(vals_l, msks_l, base, row0, cols_l)  # (n_local, LANES)
         first = jnp.min(out, axis=-1)
         # The one collective of the whole workload: min offset across the
         # corpus shards (rides ICI; one int32 per needle).
@@ -149,6 +157,14 @@ def _sharded_homogeneous(
     masks = jnp.asarray(masks, jnp.uint32)
     ends = jnp.asarray(ends, jnp.int32)
     n, t = values.shape
+    # Homogeneous tables (regrouped by effective width above, or passed as
+    # such) have full masks on every slot below the final one.
+    pen_full = t <= scan_kernel.PROBE_UNROLL
+    if t > scan_kernel.PROBE_UNROLL and t % 2:
+        # The long-needle kernel loops probe *pairs*; a mask-0 slot is a no-op.
+        values = jnp.pad(values, ((0, 0), (0, 1)))
+        masks = jnp.pad(masks, ((0, 0), (0, 1)))
+        t += 1
     n_data = mesh.shape[DATA_AXIS]
     n_needle = mesh.shape[NEEDLE_AXIS]
 
@@ -165,7 +181,10 @@ def _sharded_homogeneous(
     if interpret is None:
         interpret = config.use_interpret()
 
-    run = _sharded_call(mesh, g_pad, h, dh.s, t, nblk, n_pad, interpret)
+    run = _sharded_call(
+        mesh, g_pad, h, dh.s, t, nblk, n_pad, interpret, pen_full,
+        n_real=n,
+    )
     cols = jax.device_put(cols, corpus_sharding(mesh))
     values = jax.device_put(values, table_sharding(mesh))
     masks = jax.device_put(masks, table_sharding(mesh))
