@@ -33,7 +33,7 @@ from .models import (
 )
 from .ops import SENTINEL, DeviceHaystack, preprocess
 from .ops.pairwise import PairwiseSearcher, pairwise_contains_all
-from .searcher import EmptyNeedleSearcher, SearcherBase
+from .searcher import EmptyNeedleSearcher, SearcherBase, overlapping_count
 from .utils.streaming import StreamingScanner
 
 __version__ = "0.1.0"
@@ -59,5 +59,6 @@ __all__ = [
     "pairwise_contains_all",
     "StreamingScanner",
     "SearcherBase",
+    "overlapping_count",
     "EmptyNeedleSearcher",
 ]

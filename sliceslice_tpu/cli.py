@@ -8,7 +8,8 @@ Backend selects the searcher by string exactly like the reference's
 ``search_in_slice`` dispatch (examples/grep.rs:12-40; invalid backend is an
 error): ``dynamic`` (length dispatch), ``pallas`` (native kernels), ``xla``
 (portable), ``naive`` (oracle), ``memchr`` (1-byte needles), ``batched``
-(treats the needle argument as a comma-separated list).
+(treats the needle argument as a comma-separated list), ``count``
+(grep -c analogue: overlapping occurrence counts, comma-separated needles).
 
 The file is memory-mapped and laid out on device once (the reference mmaps
 via memmap2, examples/grep.rs:49-50); output is the match verdict plus the
@@ -40,6 +41,12 @@ BACKENDS = {
 
 def search_in_file(backend: str, needle: bytes, path: str):
     """Returns (found: bool, offset: int|None) — one search, grep-style."""
+    if backend == "count":
+        # grep -c analogue (overlapping occurrences), comma-separated needles.
+        needles = needle.split(b",")
+        dh = load_haystack(path, kh=max(max(len(n) for n in needles), 4))
+        counts = BatchedSearcher(needles).count_all(dh)
+        return [(int(c) > 0, int(c)) for c in counts]
     if backend == "batched":
         needles = needle.split(b",")
         dh = load_haystack(path, kh=max(max(len(n) for n in needles), 4))
@@ -49,7 +56,7 @@ def search_in_file(backend: str, needle: bytes, path: str):
     if cls is None:
         raise SystemExit(
             f"unknown backend {backend!r}; choose from "
-            f"{sorted(BACKENDS) + ['batched']}"
+            f"{sorted(BACKENDS) + ['batched', 'count']}"
         )
     dh = load_haystack(path, kh=max(len(needle), 4))
     s = cls(needle)
@@ -70,7 +77,11 @@ def main(argv=None):
     rc = 1
     for path in files:
         res = search_in_file(backend, needle_b, path)
-        if backend == "batched":
+        if backend == "count":
+            for nd, (found, c) in zip(needle_b.split(b","), res):
+                print(f"{path}: {nd.decode('utf-8', 'replace')}: {c}")
+                rc = 0 if found else rc
+        elif backend == "batched":
             for nd, (found, off) in zip(needle_b.split(b","), res):
                 print(f"{path}: {nd.decode('utf-8', 'replace')}: "
                       f"{'match at ' + str(off) if found else 'no match'}")

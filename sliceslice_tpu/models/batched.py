@@ -142,7 +142,7 @@ class BatchedSearcher:
         # Exact-width groups (t <= unroll limit) carry full-mask slots below
         # the final one; wide buckets still merge widths and keep masks.
         flags = tuple(
-            (g.t <= scan_kernel.PROBE_UNROLL, g.last_full)
+            (g.t <= scan_kernel.PROBE_UNROLL, g.last_full, g.n)
             for g in self.groups
         )
 
@@ -150,14 +150,78 @@ class BatchedSearcher:
         def sweep(cols, tables):
             parts = [
                 scan_kernel.batched_find_cols(
-                    cols, v, m, e, s=s, base=base0, pen_full=pf, last_full=lf
+                    cols, v, m, e, s=s, base=base0, pen_full=pf,
+                    last_full=lf, n_real=nr,
                 )
-                for (v, m, e), (pf, lf) in zip(tables, flags)
+                for (v, m, e), (pf, lf, nr) in zip(tables, flags)
             ]
             return _scatter_groups(n, blobs, parts)
 
         self._sweep_cache[key] = sweep
         return sweep
+
+    def _count_sweep_fn(self, dh: DeviceHaystack):
+        """Fused occurrence-count sweep (capability extension): every
+        group's count kernel + re-scatter, one device program."""
+        key = ("count", dh.s, dh.g, dh.kh, dh.length)
+        fn = self._sweep_cache.get(key)
+        if fn is not None:
+            return fn
+        n = len(self.needles)
+        blobs = tuple(g.indices.tobytes() for g in self.groups)
+        s = dh.s
+        base0 = self._base0
+        flags = tuple(
+            (g.t <= scan_kernel.PROBE_UNROLL, g.last_full, g.n)
+            for g in self.groups
+        )
+
+        @jax.jit
+        def sweep(cols, tables):
+            parts = [
+                scan_kernel.batched_count_cols(
+                    cols, v, m, e, s=s, base=base0, pen_full=pf,
+                    last_full=lf, n_real=nr,
+                )
+                for (v, m, e), (pf, lf, nr) in zip(tables, flags)
+            ]
+            return _scatter_groups(n, blobs, parts)
+
+        self._sweep_cache[key] = sweep
+        return sweep
+
+    def count_all_device(self, hay: HaystackLike):
+        """Device-resident int32[N] overlapping-occurrence counts."""
+        dh = self._layout(hay)
+        if dh.cols is None:
+            raise ValueError(
+                "count_all requires a tiled layout "
+                "(preprocess with force_cols=True for short haystacks)"
+            )
+        tables = tuple(
+            (g.values_dev, g.masks_dev, g.ends_dev(dh.length))
+            for g in self.groups
+        )
+        return self._count_sweep_fn(dh)(dh.cols, tables)
+
+    def count_all(self, hay: HaystackLike) -> np.ndarray:
+        """Overlapping occurrence count per needle (int64[N]) — extension
+        over the reference's bool sweep; no early exit exists to recover
+        (absence proofs and counts both need the full scan)."""
+        dh = self._layout(hay)
+        if dh.cols is None:
+            from ..searcher import overlapping_count
+
+            data = dh.host_bytes
+            if data is None:
+                raise ValueError(
+                    "counting on a flat DeviceHaystack requires host bytes"
+                )
+            return np.array(
+                [overlapping_count(data, nd) for nd in self.needles],
+                dtype=np.int64,
+            )
+        return np.asarray(self.count_all_device(dh)).astype(np.int64)
 
     def _layout(self, hay: HaystackLike) -> DeviceHaystack:
         # Halo must cover the widest group's probe table.

@@ -70,6 +70,17 @@ class DynamicSearcher:
 
     inlined_search_in = search_in
 
+    def count_in(self, hay: HaystackLike) -> int:
+        """Overlapping occurrence count (capability extension; see
+        ``SearcherBase.count_in``)."""
+        if self._inner.size and not isinstance(hay, DeviceHaystack):
+            data = _hay_bytes(hay)
+            if len(data) <= HOST_HAY_BYTES:
+                from ..searcher import overlapping_count
+
+                return overlapping_count(data, self._inner.needle.data)
+        return self._inner.count_in(hay)
+
     def _host_find(self, data: bytes) -> Optional[int]:
         from ..utils import native
 

@@ -29,3 +29,16 @@ class MemchrSearcher(SearcherBase):
         return scan_kernel.memchr_find_cols(
             dh.cols, self._byte, end, s=dh.s
         )
+
+    def _count_device(self, dh: DeviceHaystack):
+        if dh.cols is None:
+            raise NotImplementedError  # flat layout: host fallback
+        vals, msks = probe_program(self.needle.data)
+        return scan_kernel.batched_count_cols(
+            dh.cols,
+            np.asarray([vals], np.uint32),
+            np.asarray([msks], np.uint32),
+            np.asarray([dh.length], np.int32),
+            s=dh.s,
+            nblk=1,
+        )[0]

@@ -65,6 +65,26 @@ class PallasSearcher(SearcherBase):
             ),
         )[0]
 
+    def _count_device(self, dh: DeviceHaystack):
+        k = self.needle.size
+        end = dh.length - k + 1
+        if dh.cols is None:
+            raise NotImplementedError  # flat layout: host fallback
+        dh = dh.ensure_kh(k)
+        return scan_kernel.batched_count_cols(
+            dh.cols,
+            self._values,
+            self._masks,
+            np.asarray([end], np.int32),
+            s=dh.s,
+            nblk=1,
+            pen_full=self._values.shape[1] <= scan_kernel.PROBE_UNROLL,
+            last_full=(
+                self._values.shape[1] <= scan_kernel.PROBE_UNROLL
+                and k % 4 == 0
+            ),
+        )[0]
+
 
 def _make_specialized(k: int):
     class _Specialized(PallasSearcher):

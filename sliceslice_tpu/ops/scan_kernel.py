@@ -331,13 +331,14 @@ def _batched_call(
     interpret: bool,
     pen_full: bool = False,
     last_full: bool = False,
+    n_real: int | None = None,
 ):
     """One fused device program: kernel + cross-lane min + end filter +
     unpad slice — a single dispatch per search call (dispatch latency
     matters more than any single pass here)."""
     call = _raw_batched_call(
         g, h, s, t, nblk, n_pad, interpret, pen_full, last_full,
-        n_real=n_out,
+        n_real=n_out if n_real is None else n_real,
     )
     @jax.jit
     def run(values, masks, ends, base, cols):
@@ -381,9 +382,12 @@ def batched_find_cols(
     interpret: bool | None = None,
     pen_full: bool = False,
     last_full: bool = False,
+    n_real: int | None = None,
 ) -> jax.Array:
     """First-match offsets (int32[N], SENTINEL when absent) of N needles over
-    the tiled haystack.  ``base`` is added to all reported offsets (global
+    the tiled haystack.  ``n_real``: true (non-padded) row count when the
+    caller passes PRE-padded tables — rows >= n_real are never scanned and
+    return unspecified values (slice them away).  ``base`` is added to all reported offsets (global
     offset of this shard's first byte, for the distributed scanner).
     ``pen_full``: caller guarantees slot t-2 is a full-mask window on every
     non-padded row (exact-width tables) — saves two vector passes per chunk.
@@ -445,7 +449,8 @@ def batched_find_cols(
     if interpret is None:
         interpret = config.use_interpret()
     run = _batched_call(
-        g, h, s, t, nblk, n_pad, n, interpret, pen_full, last_full
+        g, h, s, t, nblk, n_pad, n, interpret, pen_full, last_full,
+        n_real=n_real,
     )
     if isinstance(base, (int, np.integer)):
         base = jnp.asarray([base], jnp.int32)
@@ -525,3 +530,238 @@ def memchr_find_cols(
         cols,
     )
     return _lane_reduce(out)[0]
+
+
+@functools.lru_cache(maxsize=128)
+def _raw_count_call(
+    g: int,
+    h: int,
+    s: int,
+    t: int,
+    nblk: int,
+    n_pad: int,
+    interpret: bool,
+    pen_full: bool = False,
+    last_full: bool = False,
+    n_real: int | None = None,
+):
+    """Occurrence-count kernel: same probe machinery as `_raw_batched_call`
+    but accumulating per-lane counts of OVERLAPPING matches instead of a
+    running min — and no early exit (a count must scan everything).  The
+    valid-position bound (``pos < end``, the reference's
+    ``end = len - k + 1`` rule, src/lib.rs:258) is applied in-kernel per
+    needle, since spurious tail "matches" would otherwise inflate counts.
+
+    (values[n_pad,t]u32, masks[n_pad,t]u32, ends[n_pad,1]i32, base[1]i32,
+    row0[1]i32, cols[g,h,128]u8) -> lane counts [n_pad, LANES] i32 (rows
+    >= n_real unspecified)."""
+    if last_full:
+        pen_full = True
+    if n_real is None:
+        n_real = n_pad
+    seg = s * LANES
+    cs = s
+    for cand in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if cand <= CHUNK_ROWS and s % cand == 0:
+            cs = cand
+            break
+    cs = min(cs, s)
+    n_chunks = s // cs
+    unrolled = t <= PROBE_UNROLL
+    if not unrolled and t % 2:
+        raise ValueError("probe widths beyond PROBE_UNROLL must be even")
+
+    def kernel(
+        val_ref, msk_ref, end_ref, base_ref, row0_ref, cols_ref, out_ref,
+        p_scr, p4_scr,
+    ):
+        gi = pl.program_id(1)
+        nbi = pl.program_id(0)
+        p_scr[:] = packed_windows(cols_ref[0])
+        p4_scr[:] = p_scr[4 : 4 + (h - 7), :]
+        seg_base = base_ref[0] + gi * seg
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 1)
+        gpos0 = lane_i * s + row_i + seg_base
+        start = row0_ref[0] + nbi * nblk
+        cnt = jnp.clip(n_real - start, 0, nblk)
+
+        def _count_one(n):
+            if unrolled:
+                vals = [val_ref[n, ti] for ti in range(t)]
+                if not last_full:
+                    last_msk = msk_ref[n, t - 1]
+                if t >= 2 and not pen_full:
+                    pen_msk = msk_ref[n, t - 2]
+            end_n = end_ref[n, 0]
+
+            def chunk_body(ci, lane_counts):
+                row0 = pl.multiple_of(ci * cs, cs)
+
+                def windows(ti):
+                    src = p_scr if ti % 2 == 0 else p4_scr
+                    off = pl.multiple_of(row0 + 4 * (ti - ti % 2), 8)
+                    return src[pl.ds(off, cs), :]
+
+                if unrolled:
+                    if t == 1 and last_full:
+                        acc = windows(0) == vals[0]
+                    elif t == 1:
+                        acc = ((windows(0) ^ vals[0]) & last_msk) == 0
+                    else:
+                        acc = None
+                        if last_full:
+                            n_full, masked = t, ()
+                        elif pen_full:
+                            n_full, masked = t - 1, ((t - 1, last_msk),)
+                        else:
+                            n_full = t - 2
+                            masked = ((t - 2, pen_msk), (t - 1, last_msk))
+                        for ti in range(n_full):
+                            eq = windows(ti) == vals[ti]
+                            acc = eq if acc is None else jnp.logical_and(acc, eq)
+                        for ti, m in masked:
+                            eq = ((windows(ti) ^ vals[ti]) & m) == 0
+                            acc = eq if acc is None else jnp.logical_and(acc, eq)
+                else:
+                    def probe_pair(j, acc_c):
+                        off = pl.multiple_of(row0 + 8 * j, 8)
+                        eq0 = (
+                            (p_scr[pl.ds(off, cs), :] ^ val_ref[n, 2 * j])
+                            & msk_ref[n, 2 * j]
+                        ) == 0
+                        eq4 = (
+                            (p4_scr[pl.ds(off, cs), :] ^ val_ref[n, 2 * j + 1])
+                            & msk_ref[n, 2 * j + 1]
+                        ) == 0
+                        both = jnp.logical_and(eq0, eq4)
+                        return acc_c & both.astype(jnp.uint32)
+
+                    acc_u = jax.lax.fori_loop(
+                        0, t // 2, probe_pair,
+                        jnp.ones((cs, LANES), jnp.uint32),
+                    )
+                    acc = acc_u != 0
+                valid = jnp.logical_and(acc, (gpos0 + row0) < end_n)
+                return lane_counts + jnp.sum(
+                    valid.astype(jnp.int32), axis=0, keepdims=True
+                )
+
+            init = jnp.zeros((1, LANES), dtype=jnp.int32)
+            if n_chunks <= 4:
+                counts = init
+                for ci in range(n_chunks):
+                    counts = chunk_body(ci, counts)
+            else:
+                counts = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+            prev = jnp.where(
+                gi == 0, jnp.int32(0), out_ref[n, :].reshape(1, LANES)
+            )
+            out_ref[n, :] = (prev + counts).reshape(LANES)
+
+        def needle_body(n, c):
+            _count_one(n)
+            return c
+
+        jax.lax.fori_loop(0, cnt, needle_body, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad // nblk, g),
+        in_specs=[
+            pl.BlockSpec((nblk, t), lambda nb, gi: (nb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nblk, t), lambda nb, gi: (nb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nblk, 1), lambda nb, gi: (nb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda nb, gi: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda nb, gi: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, h, LANES), lambda nb, gi: (gi, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (nblk, LANES), lambda nb, gi: (nb, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((h - 3, LANES), jnp.uint32),
+            pltpu.VMEM((h - 7, LANES), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=128)
+def _count_call(
+    g: int, h: int, s: int, t: int, nblk: int, n_pad: int, n_out: int,
+    interpret: bool, pen_full: bool = False, last_full: bool = False,
+    n_real: int | None = None,
+):
+    call = _raw_count_call(
+        g, h, s, t, nblk, n_pad, interpret, pen_full, last_full,
+        n_real=n_out if n_real is None else n_real,
+    )
+
+    @jax.jit
+    def run(values, masks, ends, base, cols):
+        row0 = jnp.zeros((1,), jnp.int32)
+        out = call(values, masks, ends.reshape(-1, 1), base, row0, cols)
+        return jnp.sum(out[:n_out], axis=-1)
+
+    return run
+
+
+def batched_count_cols(
+    cols: jax.Array,
+    values: np.ndarray,
+    masks: np.ndarray,
+    ends: np.ndarray,
+    s: int,
+    base: int | jax.Array = 0,
+    nblk: int | None = None,
+    interpret: bool | None = None,
+    pen_full: bool = False,
+    last_full: bool = False,
+    n_real: int | None = None,
+) -> jax.Array:
+    """Count of OVERLAPPING occurrences (int32[N]) of N needles over the
+    tiled haystack — capability extension over the reference's bool
+    ``search_in`` (counts need the same full scan a no-match search does,
+    so there is no early-exit economics to recover).  Same probe-table
+    contract as :func:`batched_find_cols`."""
+    g, h, lanes = cols.shape
+    assert lanes == LANES
+    n, t = values.shape
+    if t > PROBE_UNROLL:
+        pen_full = last_full = False
+    if t > PROBE_UNROLL and t % 2:
+        values = np.pad(np.asarray(values), ((0, 0), (0, 1)))
+        masks = np.pad(np.asarray(masks), ((0, 0), (0, 1)))
+        t += 1
+    assert 4 * t - 1 <= h - s, (
+        f"probe table width {t} needs {4 * t - 1} halo bytes, layout has {h - s}"
+    )
+    if nblk is None:
+        nblk, n_pad = plan_block(n, t)
+    else:
+        nblk = max(8, min(nblk, 256, _round_up(2048 // max(t, 1), 8)))
+        n_pad = _round_up(n, nblk)
+    values = jnp.asarray(values, jnp.uint32)
+    masks = jnp.asarray(masks, jnp.uint32)
+    ends = jnp.asarray(ends, jnp.int32)
+    if n_pad != n:
+        pad = ((0, n_pad - n), (0, 0))
+        values = jnp.pad(values, pad)
+        masks = jnp.pad(masks, pad)
+        ends = jnp.pad(ends, ((0, n_pad - n),))
+    if interpret is None:
+        interpret = config.use_interpret()
+    run = _count_call(
+        g, h, s, t, nblk, n_pad, n, interpret, pen_full, last_full,
+        n_real=n_real,
+    )
+    if isinstance(base, (int, np.integer)):
+        base = jnp.asarray([base], jnp.int32)
+    return run(values, masks, ends, base.reshape(1), cols)

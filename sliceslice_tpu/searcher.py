@@ -30,6 +30,19 @@ from .ops.scan_math import SENTINEL
 HaystackLike = Union[bytes, bytearray, memoryview, np.ndarray, str, DeviceHaystack]
 
 
+def overlapping_count(data: bytes, needle: bytes) -> int:
+    """Host oracle-grade overlapping occurrence count (``bytes.count`` is
+    non-overlapping, so it is NOT the right primitive here)."""
+    if len(needle) == 0:
+        return len(data) + 1
+    c = 0
+    p = data.find(needle)
+    while p != -1:
+        c += 1
+        p = data.find(needle, p + 1)
+    return c
+
+
 def _hay_bytes(hay: HaystackLike) -> bytes:
     if isinstance(hay, str):
         return hay.encode("utf-8")
@@ -82,7 +95,51 @@ class SearcherBase:
         off = int(self._find_device(dh))
         return None if off >= SENTINEL else off
 
+    def count_in(self, hay: HaystackLike) -> int:
+        """Number of OVERLAPPING occurrences of the needle — a capability
+        extension over the reference's bool ``search_in`` (counting has no
+        early exit to lose, so it runs at full-scan bandwidth on device)."""
+        k = self.needle.size
+        if isinstance(hay, DeviceHaystack):
+            if hay.length <= k:
+                return self._trivial_count(self._host_bytes_of(hay), k)
+            if hay.cols is not None:
+                try:
+                    return int(self._count_device(hay))
+                except NotImplementedError:
+                    pass
+            data = self._host_bytes_of(hay)
+            if data is None:
+                raise ValueError(
+                    "counting on this DeviceHaystack requires host bytes "
+                    "(preprocess with keep_host=True)"
+                )
+            return overlapping_count(data, self.needle.data)
+        data = _hay_bytes(hay)
+        if len(data) <= k:
+            return self._trivial_count(data, k)
+        if len(data) <= SHORT_HAY_BYTES:
+            return overlapping_count(data, self.needle.data)
+        dh = self._layout(data)
+        try:
+            return int(self._count_device(dh))
+        except NotImplementedError:
+            return overlapping_count(data, self.needle.data)
+
     # -- helpers ------------------------------------------------------------
+
+    def _trivial_count(self, data: bytes, k: int) -> int:
+        if data is None:
+            raise ValueError(
+                "DeviceHaystack shorter than needle requires host bytes "
+                "(preprocess with keep_host=True)"
+            )
+        if len(data) < k:
+            return 0
+        return 1 if data == self.needle.data else 0
+
+    def _count_device(self, dh: DeviceHaystack):
+        raise NotImplementedError
 
     def _trivial_find(self, data: bytes, k: int) -> Optional[int]:
         # hay shorter than needle -> no match; equal length -> whole-slice
@@ -127,6 +184,12 @@ class EmptyNeedleSearcher:
 
     def find(self, hay: HaystackLike) -> Optional[int]:
         return 0
+
+    def count_in(self, hay: HaystackLike) -> int:
+        # The empty needle matches at every gap: len + 1 positions.
+        if isinstance(hay, DeviceHaystack):
+            return hay.length + 1
+        return len(_hay_bytes(hay)) + 1
 
     def __repr__(self):
         return "EmptyNeedleSearcher()"

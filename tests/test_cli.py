@@ -40,3 +40,11 @@ def test_cli_invalid_backend(corpus_file):
 
 def test_cli_usage():
     assert main([]) == 2
+
+
+def test_cli_count(corpus_file, capsys):
+    assert main(["count", "ipsum,zebra,or", corpus_file]) == 0
+    out = capsys.readouterr().out
+    assert "ipsum: 100" in out
+    assert "zebra: 0" in out
+    assert "or: 200" in out  # "lorem" + "dolor" per repeat
