@@ -3,7 +3,11 @@ bring-up (the capability required by BASELINE.json configs 4-5)."""
 
 from .mesh import DATA_AXIS, NEEDLE_AXIS, corpus_sharding, make_mesh, table_sharding
 from .scaling import format_report, measure_scaling
-from .shard_scan import ShardedBatchedSearcher, sharded_find_cols
+from .shard_scan import (
+    ShardedBatchedSearcher,
+    sharded_count_cols,
+    sharded_find_cols,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -12,6 +16,7 @@ __all__ = [
     "corpus_sharding",
     "table_sharding",
     "sharded_find_cols",
+    "sharded_count_cols",
     "ShardedBatchedSearcher",
     "measure_scaling",
     "format_report",

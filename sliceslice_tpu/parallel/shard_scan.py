@@ -93,6 +93,60 @@ def _sharded_call(
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_count_call(
+    mesh: Mesh,
+    g_pad: int,
+    h: int,
+    s: int,
+    t: int,
+    nblk: int,
+    n_pad: int,
+    interpret: bool,
+    pen_full: bool = False,
+    n_real: int | None = None,
+):
+    """Distributed occurrence count: local count kernel per shard, ONE
+    ``psum`` over the data axis (exactly-once at shard boundaries follows
+    from positions belonging to the shard where the match starts; halo
+    bytes are read-only context)."""
+    n_data = mesh.shape[DATA_AXIS]
+    n_needle = mesh.shape[NEEDLE_AXIS]
+    g_local = g_pad // n_data
+    n_local = n_pad // n_needle
+    seg = s * LANES
+    raw = scan_kernel._raw_count_call(
+        g_local, h, s, t, nblk, n_local, interpret, pen_full,
+        n_real=n_real,
+    )
+
+    def local_fn(cols_l, vals_l, msks_l, ends_l):
+        shard = jax.lax.axis_index(DATA_AXIS)
+        base = (shard * g_local * seg).astype(jnp.int32).reshape(1)
+        row0 = (
+            jax.lax.axis_index(NEEDLE_AXIS) * n_local
+        ).astype(jnp.int32).reshape(1)
+        out = raw(
+            vals_l, msks_l, ends_l.reshape(-1, 1), base, row0, cols_l
+        )
+        counts = jnp.sum(out, axis=-1)
+        return jax.lax.psum(counts, DATA_AXIS)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None, None),
+            P(NEEDLE_AXIS, None),
+            P(NEEDLE_AXIS, None),
+            P(NEEDLE_AXIS),
+        ),
+        out_specs=P(NEEDLE_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def sharded_find_cols(
     dh: DeviceHaystack,
     values: np.ndarray,
@@ -101,9 +155,11 @@ def sharded_find_cols(
     mesh: Mesh,
     nblk: Optional[int] = None,
     interpret: Optional[bool] = None,
+    mode: str = "find",
 ) -> jax.Array:
     """Exact global first-match offsets (SENTINEL absent) of N needles over a
-    segment-sharded corpus on ``mesh``.
+    segment-sharded corpus on ``mesh`` (``mode="count"``: overlapping
+    occurrence counts instead, reduced with one ``psum``).
 
     Accepts mixed-width probe tables: rows are regrouped by effective width
     (the scan kernels require homogeneous tables — every slot but the last
@@ -130,13 +186,32 @@ def sharded_find_cols(
                     mesh,
                     nblk,
                     interpret,
+                    mode,
                 )
             )
             order.append(idx)
         order = jnp.asarray(np.concatenate(order), jnp.int32)
         merged = jnp.concatenate([jnp.asarray(p) for p in parts])
         return jnp.zeros((n,), jnp.int32).at[order].set(merged)
-    return _sharded_homogeneous(dh, values, masks, ends, mesh, nblk, interpret)
+    return _sharded_homogeneous(
+        dh, values, masks, ends, mesh, nblk, interpret, mode
+    )
+
+
+def sharded_count_cols(
+    dh: DeviceHaystack,
+    values: np.ndarray,
+    masks: np.ndarray,
+    ends: np.ndarray,
+    mesh: Mesh,
+    nblk: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Overlapping occurrence counts (int32[N]) over a segment-sharded
+    corpus — the count analogue of :func:`sharded_find_cols`."""
+    return sharded_find_cols(
+        dh, values, masks, ends, mesh, nblk, interpret, mode="count"
+    )
 
 
 def _sharded_homogeneous(
@@ -147,6 +222,7 @@ def _sharded_homogeneous(
     mesh: Mesh,
     nblk: Optional[int] = None,
     interpret: Optional[bool] = None,
+    mode: str = "find",
 ) -> jax.Array:
     if dh.cols is None:
         raise ValueError("sharded scan requires a tiled (cols) layout")
@@ -181,7 +257,8 @@ def _sharded_homogeneous(
     if interpret is None:
         interpret = config.use_interpret()
 
-    run = _sharded_call(
+    builder = _sharded_call if mode == "find" else _sharded_count_call
+    run = builder(
         mesh, g_pad, h, dh.s, t, nblk, n_pad, interpret, pen_full,
         n_real=n,
     )
@@ -247,6 +324,28 @@ class ShardedBatchedSearcher:
         out = np.asarray(firsts).astype(np.int64)
         out[out >= SENTINEL] = -1
         return out
+
+    def count_all(self, dh: DeviceHaystack) -> np.ndarray:
+        """Overlapping occurrence counts (int64[N]) across the sharded
+        corpus — one ``psum`` per query batch."""
+        dh = self.inner._layout(dh)
+        n = len(self.inner)
+        key = id(dh.cols)
+        hit = self._placed_corpus.get(key)
+        if hit is None or hit[0] is not dh.cols:
+            self._placed_corpus = {
+                key: (dh.cols, self._tables(dh.length))
+            }
+        tabs = self._placed_corpus[key][1]
+        parts = []
+        blobs = []
+        for grp, (v, m, e) in zip(self.inner.groups, tabs):
+            parts.append(sharded_count_cols(dh, v, m, e, self.mesh))
+            blobs.append(grp.indices.tobytes())
+        from ..models.batched import _scatter_groups
+
+        counts = _scatter_groups(n, tuple(blobs), parts)
+        return np.asarray(counts).astype(np.int64)
 
     def search_all(self, dh) -> np.ndarray:
         return self.find_all(dh) >= 0

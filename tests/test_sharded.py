@@ -109,3 +109,17 @@ def test_initialize_noop():
     from sliceslice_tpu.parallel.distributed import initialize
 
     initialize(num_processes=1)  # must be a no-op
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_count_matches_oracle(corpus, shape):
+    """Sharded counts: exactly-once across shard boundaries, one psum."""
+    from sliceslice_tpu.searcher import overlapping_count
+
+    mesh = make_mesh(shape)
+    dh = preprocess(corpus, kh=16)
+    seg = dh.seg_bytes
+    needles = [corpus[10:14], b"aab", b"absent!", corpus[seg - 3 : seg + 3], b"a"]
+    got = ShardedBatchedSearcher(needles, mesh).count_all(dh)
+    exp = np.array([overlapping_count(corpus, nd) for nd in needles])
+    assert (got == exp).all()
