@@ -11,7 +11,8 @@ that together prove an exact match.  A needle of length ``k`` compiles to
   final overlapping window at offset ``k - 4`` (full mask), or
 * for ``k < 4``, a single masked probe at offset 0 covering ``k`` bytes.
 
-``match[i] == AND_t ((window32(hay, i + off_t) ^ value_t) & mask_t) == 0``
+``match[i] == AND_t (window32(hay, i + off_t) & mask_t) == value_t``
+(values are pre-masked, so the 2-vector-op form is exact)
 
 where ``window32(hay, p) = hay[p] | hay[p+1]<<8 | hay[p+2]<<16 | hay[p+3]<<24``.
 

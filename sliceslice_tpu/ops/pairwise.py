@@ -8,7 +8,7 @@ per device op, using the same packed-window probes as the long-haystack
 kernel: needle n is ``T = ceil(k/4)`` masked uint32 window compares, and for
 candidate position i, probe slot t is one fused broadcast compare
 
-    eq[n, h] = ((win32(h, i + 4t) ^ value[t, n]) & mask[t, n]) == 0
+    eq[n, h] = (win32(h, i + 4t) & mask[t, n]) == value[t, n]
 
 ANDed over slots (a mask-0 slot is trivially true, so mixed lengths need no
 extra masking), then validity ``i <= len(h) - len(n)`` and a min reduction
@@ -72,7 +72,8 @@ def _pair_block(valt, mskt, ln, pht, lh, tn, mi):
             hrow = jax.lax.dynamic_index_in_dim(
                 pht, i + 4 * t, axis=0, keepdims=False
             )  # (Hb,) uint32 windows
-            eq = ((hrow[None, :] ^ valt[t][:, None]) & mskt[t][:, None]) == 0
+            # Pre-masked values (needle.py contract): 2-op masked compare.
+            eq = (hrow[None, :] & mskt[t][:, None]) == valt[t][:, None]
             m = eq if m is None else jnp.logical_and(m, eq)
         hit = jnp.logical_and(m, i <= limit)
         # Carry only the first-offset plane; containment is first < mi.
@@ -112,7 +113,7 @@ def _pair_block_call(
             m = None
             for t in range(tn):
                 hrow = pht_ref[i + 4 * t : i + 4 * t + 1, :]  # (1, bh)
-                eq = ((hrow ^ vb[t]) & mb[t]) == 0
+                eq = (hrow & mb[t]) == vb[t]  # values pre-masked (needle.py)
                 m = eq if m is None else jnp.logical_and(m, eq)
             hit = jnp.logical_and(m, i <= limit)
             acc = jnp.where(jnp.logical_and(hit, acc == mi), jnp.int32(i), acc)

@@ -194,10 +194,14 @@ def _raw_batched_call(
                         # Slots below t-2 hold full 4-byte windows by
                         # construction (needle.py) and compare without
                         # masks; the last two slots use their masks.
+                        # Masked slots compare as (w & m) == v — two vector
+                        # ops, not three: table values are pre-masked
+                        # (needle.build_probe_table ANDs values with masks),
+                        # so the xor-form is never needed.
                         if t == 1 and last_full:
                             acc = windows(0) == vals[0]
                         elif t == 1:
-                            acc = ((windows(0) ^ vals[0]) & last_msk) == 0
+                            acc = (windows(0) & last_msk) == vals[0]
                         else:
                             acc = None
                             if last_full:
@@ -211,7 +215,7 @@ def _raw_batched_call(
                                 eq = windows(ti) == vals[ti]
                                 acc = eq if acc is None else jnp.logical_and(acc, eq)
                             for ti, m in masked:
-                                eq = ((windows(ti) ^ vals[ti]) & m) == 0
+                                eq = (windows(ti) & m) == vals[ti]
                                 acc = eq if acc is None else jnp.logical_and(acc, eq)
                     else:
                         # Long needles: loop probe pairs; offsets stay
@@ -220,14 +224,12 @@ def _raw_batched_call(
                         def probe_pair(j, acc_c):
                             off = pl.multiple_of(row0 + 8 * j, 8)
                             eq0 = (
-                                (p_scr[pl.ds(off, cs), :] ^ val_ref[n, 2 * j])
-                                & msk_ref[n, 2 * j]
-                            ) == 0
+                                p_scr[pl.ds(off, cs), :] & msk_ref[n, 2 * j]
+                            ) == val_ref[n, 2 * j]
                             eq4 = (
-                                (p4_scr[pl.ds(off, cs), :]
-                                 ^ val_ref[n, 2 * j + 1])
+                                p4_scr[pl.ds(off, cs), :]
                                 & msk_ref[n, 2 * j + 1]
-                            ) == 0
+                            ) == val_ref[n, 2 * j + 1]
                             both = jnp.logical_and(eq0, eq4)
                             return acc_c & both.astype(jnp.uint32)
 
@@ -396,12 +398,17 @@ def batched_find_cols(
 
     CONTRACT: every probe slot except the last two must hold a full-mask
     4-byte window (the kernel compares earlier slots without masks; the last
-    two use their masks, so tables may mix needles of width t and t-1).
-    Tables built per width group (models/batched.py, parallel/shard_scan.py)
-    satisfy this by construction; padded rows (all-zero masks) are permitted
-    only when their ``end`` is 0."""
+    two use their masks, so tables may mix needles of width t and t-1), and
+    values must be pre-masked (``v & m == v`` — the kernels use the 2-op
+    ``(w & m) == v`` compare).  Tables built per width group
+    (models/batched.py, parallel/shard_scan.py) satisfy both by construction
+    (build_probe_table pre-masks); host ndarray tables are re-masked here
+    defensively.  Padded rows (all-zero masks) are permitted only when their
+    ``end`` is 0."""
     g, h, lanes = cols.shape
     assert lanes == LANES
+    if isinstance(values, np.ndarray) and isinstance(masks, np.ndarray):
+        values = values & masks
     n, t = values.shape
     if t > PROBE_UNROLL:
         # The pair-looped long-needle path always applies masks.
@@ -604,10 +611,11 @@ def _raw_count_call(
                     return src[pl.ds(off, cs), :]
 
                 if unrolled:
+                    # Pre-masked table values: (w & m) == v, see find kernel.
                     if t == 1 and last_full:
                         acc = windows(0) == vals[0]
                     elif t == 1:
-                        acc = ((windows(0) ^ vals[0]) & last_msk) == 0
+                        acc = (windows(0) & last_msk) == vals[0]
                     else:
                         acc = None
                         if last_full:
@@ -621,19 +629,17 @@ def _raw_count_call(
                             eq = windows(ti) == vals[ti]
                             acc = eq if acc is None else jnp.logical_and(acc, eq)
                         for ti, m in masked:
-                            eq = ((windows(ti) ^ vals[ti]) & m) == 0
+                            eq = (windows(ti) & m) == vals[ti]
                             acc = eq if acc is None else jnp.logical_and(acc, eq)
                 else:
                     def probe_pair(j, acc_c):
                         off = pl.multiple_of(row0 + 8 * j, 8)
                         eq0 = (
-                            (p_scr[pl.ds(off, cs), :] ^ val_ref[n, 2 * j])
-                            & msk_ref[n, 2 * j]
-                        ) == 0
+                            p_scr[pl.ds(off, cs), :] & msk_ref[n, 2 * j]
+                        ) == val_ref[n, 2 * j]
                         eq4 = (
-                            (p4_scr[pl.ds(off, cs), :] ^ val_ref[n, 2 * j + 1])
-                            & msk_ref[n, 2 * j + 1]
-                        ) == 0
+                            p4_scr[pl.ds(off, cs), :] & msk_ref[n, 2 * j + 1]
+                        ) == val_ref[n, 2 * j + 1]
                         both = jnp.logical_and(eq0, eq4)
                         return acc_c & both.astype(jnp.uint32)
 
@@ -730,9 +736,11 @@ def batched_count_cols(
     tiled haystack — capability extension over the reference's bool
     ``search_in`` (counts need the same full scan a no-match search does,
     so there is no early-exit economics to recover).  Same probe-table
-    contract as :func:`batched_find_cols`."""
+    contract as :func:`batched_find_cols` (incl. pre-masked values)."""
     g, h, lanes = cols.shape
     assert lanes == LANES
+    if isinstance(values, np.ndarray) and isinstance(masks, np.ndarray):
+        values = values & masks
     n, t = values.shape
     if t > PROBE_UNROLL:
         pen_full = last_full = False

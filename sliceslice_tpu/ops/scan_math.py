@@ -42,12 +42,15 @@ def probe_acc(slicer, probes):
     slice inside a Pallas kernel); ``probes``: sequence of (offset, value,
     mask) traced or static scalars.  Returns bool[(s, LANES)].
 
-    A probe with mask == 0 is trivially true, which is how batched tables
-    evaluate needles of mixed lengths in one fixed-shape kernel.
+    A probe with mask == 0 (and value 0) is trivially true, which is how
+    batched tables evaluate needles of mixed lengths in one fixed-shape
+    kernel.  CONTRACT: values are pre-masked (``val & mask == val``, enforced
+    by needle.build_probe_table / probe_program) so the compare is the 2-op
+    ``(w & m) == v`` form rather than 3-op ``((w ^ v) & m) == 0``.
     """
     acc = None
     for off, val, mask in probes:
-        eq = ((slicer(off) ^ val) & mask) == 0
+        eq = (slicer(off) & mask) == val
         acc = eq if acc is None else jnp.logical_and(acc, eq)
     return acc
 

@@ -34,7 +34,8 @@ def _find_flat_impl(flat, values, masks, end):
     acc = None
     for t in range(values.shape[0]):
         pt = jnp.roll(p, -4 * t) if t else p
-        eq = ((pt ^ values[t]) & masks[t]) == 0
+        # Pre-masked table values (needle.py contract): 2-op masked compare.
+        eq = (pt & masks[t]) == values[t]
         acc = eq if acc is None else jnp.logical_and(acc, eq)
     idx = jnp.arange(lp, dtype=jnp.int32)
     valid = jnp.logical_and(acc, idx < end)

@@ -229,8 +229,10 @@ def _sharded_homogeneous(
     cols = dh.cols
     g, h, lanes = cols.shape
     assert lanes == LANES
-    values = jnp.asarray(values, jnp.uint32)
     masks = jnp.asarray(masks, jnp.uint32)
+    # Kernels use the 2-op (w & m) == v compare; re-mask defensively in case
+    # a caller-built table is not pre-masked (build_probe_table tables are).
+    values = jnp.asarray(values, jnp.uint32) & masks
     ends = jnp.asarray(ends, jnp.int32)
     n, t = values.shape
     # Homogeneous tables (regrouped by effective width above, or passed as
