@@ -30,10 +30,12 @@ if _cache_dir:
 interpret: bool | None = None
 
 #: Default number of needles evaluated per Pallas grid step (tuned on
-#: TPU v5e: 128 beats 256 by ~7% on the i386 sweep — smaller out blocks
-#: and earlier block retirement win over per-step fixed costs; capped
-#: per-call so SMEM probe tables stay small).
-NEEDLE_BLOCK = 128
+#: TPU v5e with the while_loop segment walk: 256 beats 128 by ~6% on the
+#: i386 sweep — fewer blocks means fewer per-block prologues and window
+#: rebuilds, and the compacted unfound list keeps early-exit economics
+#: per-needle regardless of block size; capped per-call so SMEM probe
+#: tables stay small).
+NEEDLE_BLOCK = 256
 
 
 def use_interpret() -> bool:

@@ -74,6 +74,15 @@ def _raw_batched_call(
     applied; rows >= n_real are never scanned and their output is
     unspecified — callers slice them away).
 
+    Grid = needle blocks ONLY; segments are walked by an in-kernel
+    ``while_loop`` with manually double-buffered DMA from HBM.  That makes
+    the early exit total: once every needle in the block is found the loop
+    ends and the remaining segments are neither scanned NOR fetched — no
+    grid step, no DMA, no scalar prologue.  (The previous (blocks, segments)
+    grid paid ~3-4 us of per-step machinery even for fully-skipped
+    segments — ~2 ms across a 36x14 grid, comparable to the whole sweep's
+    vector work.)
+
     ``n_real``: number of real (non-padded) table rows, counted globally
     across shards; ``row0`` is this shard's first global row (0 single-chip,
     ``axis_index(needle) * n_local`` sharded).  Each block seeds its unfound
@@ -116,10 +125,9 @@ def _raw_batched_call(
         raise ValueError("probe widths beyond PROBE_UNROLL must be even")
 
     def kernel(
-        val_ref, msk_ref, base_ref, row0_ref, cols_ref, out_ref,
-        p_scr, p4_scr, flags_scr, remaining_scr, ulist_scr,
+        val_ref, msk_ref, base_ref, row0_ref, cols_hbm, out_ref,
+        buf_scr, sem, p_scr, p4_scr, flags_scr, ulist_scr,
     ):
-        gi = pl.program_id(1)
         nbi = pl.program_id(0)
 
         # ulist_scr[0:remaining] holds the indices of still-unfound needles:
@@ -127,25 +135,41 @@ def _raw_batched_call(
         # found needles cost zero, not even a flag check per segment).
         # Seed with this block's REAL rows only: padded rows are excluded
         # from the start and never cost a scan.
-        @pl.when(gi == 0)
-        def _():
-            start = row0_ref[0] + nbi * nblk
-            cnt = jnp.clip(n_real - start, 0, nblk)
+        start = row0_ref[0] + nbi * nblk
+        cnt0 = jnp.clip(n_real - start, 0, nblk)
 
-            def ident(i, c):
-                ulist_scr[i] = i
-                return c
+        def ident(i, c):
+            ulist_scr[i] = i
+            return c
 
-            jax.lax.fori_loop(0, cnt, ident, 0)
-            remaining_scr[0] = cnt
+        jax.lax.fori_loop(0, cnt0, ident, 0)
 
-        def _scan_segment(gi):
-            # Build packed 4-byte windows for this segment (runs once per
-            # grid step; amortized over the nblk needles scanned below),
-            # plus a +4-row pre-shifted copy: probe slot ti then reads one
-            # of the two at an 8-row-aligned offset — no per-chunk slab
-            # materialization and no unaligned dynamic slices.
-            p_scr[:] = packed_windows(cols_ref[0])
+        def seg_dma(gi, slot):
+            return pltpu.make_async_copy(
+                cols_hbm.at[gi], buf_scr.at[slot], sem.at[slot]
+            )
+
+        # Kick off segment 0 into slot 0 (waited either by the first loop
+        # iteration or, for an empty block, by the epilogue drain).
+        seg_dma(0, 0).start()
+
+        def _scan_segment(gi, remaining):
+            slot = jax.lax.rem(gi, 2)
+            # Speculatively prefetch the next segment into the other slot
+            # while this one is scanned: wasted only on the final scanned
+            # segment (64 KB of read bandwidth), hidden behind compute
+            # otherwise.
+            @pl.when(gi + 1 < g)
+            def _():
+                seg_dma(gi + 1, jax.lax.rem(gi + 1, 2)).start()
+
+            seg_dma(gi, slot).wait()
+            # Build packed 4-byte windows for this segment (amortized over
+            # the needles scanned below), plus a +4-row pre-shifted copy:
+            # probe slot ti then reads one of the two at an 8-row-aligned
+            # offset — no per-chunk slab materialization and no unaligned
+            # dynamic slices.
+            p_scr[:] = packed_windows(buf_scr[slot])
             p4_scr[:] = p_scr[4 : 4 + (h - 7), :]
             seg_base = base_ref[0] + gi * seg
             # Hoisted per-step position plane: global offset of (row,
@@ -259,8 +283,7 @@ def _raw_batched_call(
                 fin = jnp.minimum(prev, mins)
                 out_ref[n, :] = fin.reshape(LANES)
 
-            prev_cnt = remaining_scr[0]
-            jax.lax.fori_loop(0, prev_cnt, needle_body, 0)
+            jax.lax.fori_loop(0, remaining, needle_body, 0)
 
             # Found flags for the whole block in ONE vectorized cross-lane
             # reduce (per-needle scalar reduces are ~1.5k cycles each on the
@@ -284,38 +307,53 @@ def _raw_batched_call(
 
                 return cnt + keep
 
-            remaining_scr[0] = jax.lax.fori_loop(0, prev_cnt, compact, 0)
+            return jax.lax.fori_loop(0, remaining, compact, 0)
 
-        # Skip the segment outright once every needle in the block is found.
-        @pl.when(jnp.logical_or(gi == 0, remaining_scr[0] > 0))
-        def _segment():
-            _scan_segment(gi)
+        # Walk segments until every needle in the block is found (or the
+        # corpus ends): the total early exit — later segments cost nothing.
+        def loop_cond(carry):
+            gi, remaining = carry
+            return jnp.logical_and(gi < g, remaining > 0)
+
+        def loop_body(carry):
+            gi, remaining = carry
+            return gi + 1, _scan_segment(gi, remaining)
+
+        gi_end, _rem = jax.lax.while_loop(
+            loop_cond, loop_body, (jnp.int32(0), cnt0)
+        )
+
+        # Drain the in-flight speculative prefetch (or the unconsumed
+        # segment-0 fetch of an all-padded block) so no DMA outlives the
+        # kernel.
+        @pl.when(gi_end < g)
+        def _():
+            seg_dma(gi_end, jax.lax.rem(gi_end, 2)).wait()
 
     return pl.pallas_call(
         kernel,
-        grid=(n_pad // nblk, g),
+        grid=(n_pad // nblk,),
         in_specs=[
-            pl.BlockSpec((nblk, t), lambda nb, gi: (nb, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nblk, t), lambda nb, gi: (nb, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda nb, gi: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda nb, gi: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, h, LANES), lambda nb, gi: (gi, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((nblk, t), lambda nb: (nb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nblk, t), lambda nb: (nb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda nb: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda nb: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # cols stay in HBM
         ],
         out_specs=pl.BlockSpec(
-            (nblk, LANES), lambda nb, gi: (nb, 0), memory_space=pltpu.VMEM
+            (nblk, LANES), lambda nb: (nb, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, LANES), jnp.int32),
         scratch_shapes=[
+            pltpu.VMEM((2, h, LANES), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((h - 3, LANES), jnp.uint32),
             pltpu.VMEM((h - 7, LANES), jnp.uint32),
             pltpu.VMEM((nblk, 1), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
             pltpu.SMEM((nblk,), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )
