@@ -144,6 +144,12 @@ def _raw_batched_call(
 
         jax.lax.fori_loop(0, cnt0, ident, 0)
 
+        # One vectorized init per block replaces a per-(needle, segment)
+        # where(gi == 0, SENTINEL, prev) select in the epilogue; also pins
+        # never-scanned (padded) rows to SENTINEL instead of leaving them
+        # unspecified.
+        out_ref[:] = jnp.full((nblk, LANES), SENTINEL, jnp.int32)
+
         def seg_dma(gi, slot):
             return pltpu.make_async_copy(
                 cols_hbm.at[gi], buf_scr.at[slot], sem.at[slot]
@@ -276,11 +282,7 @@ def _raw_batched_call(
                         mins = chunk_body(ci, mins)
                 else:
                     mins = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
-                prev = jnp.where(
-                    gi == 0, jnp.int32(SENTINEL),
-                    out_ref[n, :].reshape(1, LANES),
-                )
-                fin = jnp.minimum(prev, mins)
+                fin = jnp.minimum(out_ref[n, :].reshape(1, LANES), mins)
                 out_ref[n, :] = fin.reshape(LANES)
 
             jax.lax.fori_loop(0, remaining, needle_body, 0)
