@@ -9,7 +9,8 @@ Backend selects the searcher by string exactly like the reference's
 error): ``dynamic`` (length dispatch), ``pallas`` (native kernels), ``xla``
 (portable), ``naive`` (oracle), ``memchr`` (1-byte needles), ``batched``
 (treats the needle argument as a comma-separated list), ``count``
-(grep -c analogue: overlapping occurrence counts, comma-separated needles).
+(grep -c analogue: overlapping occurrence counts, comma-separated needles),
+``positions`` (grep -b analogue: every overlapping match offset).
 
 The file is memory-mapped and laid out on device once (the reference mmaps
 via memmap2, examples/grep.rs:49-50); output is the match verdict plus the
@@ -52,11 +53,17 @@ def search_in_file(backend: str, needle: bytes, path: str):
         dh = load_haystack(path, kh=max(max(len(n) for n in needles), 4))
         offs = BatchedSearcher(needles).find_all(dh)
         return [(o >= 0, None if o < 0 else int(o)) for o in offs]
+    if backend == "positions":
+        # grep -b analogue: every overlapping match offset per needle.
+        needles = needle.split(b",")
+        dh = load_haystack(path, kh=max(max(len(n) for n in needles), 4))
+        pos = BatchedSearcher(needles).positions_all(dh)
+        return [(p.size > 0, p) for p in pos]
     cls = BACKENDS.get(backend)
     if cls is None:
         raise SystemExit(
             f"unknown backend {backend!r}; choose from "
-            f"{sorted(BACKENDS) + ['batched', 'count']}"
+            f"{sorted(BACKENDS) + ['batched', 'count', 'positions']}"
         )
     dh = load_haystack(path, kh=max(len(needle), 4))
     s = cls(needle)
@@ -80,6 +87,15 @@ def main(argv=None):
         if backend == "count":
             for nd, (found, c) in zip(needle_b.split(b","), res):
                 print(f"{path}: {nd.decode('utf-8', 'replace')}: {c}")
+                rc = 0 if found else rc
+        elif backend == "positions":
+            for nd, (found, pos) in zip(needle_b.split(b","), res):
+                shown = ",".join(map(str, pos[:100].tolist()))
+                more = f" (+{pos.size - 100} more)" if pos.size > 100 else ""
+                print(
+                    f"{path}: {nd.decode('utf-8', 'replace')}: "
+                    f"{shown if found else 'no match'}{more}"
+                )
                 rc = 0 if found else rc
         elif backend == "batched":
             for nd, (found, off) in zip(needle_b.split(b","), res):

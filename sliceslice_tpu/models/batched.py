@@ -279,6 +279,45 @@ class BatchedSearcher:
     def search_all(self, hay: HaystackLike, **kw) -> np.ndarray:
         return self.find_all(hay, **kw) >= 0
 
+    def positions_all(
+        self, hay: HaystackLike, batch: int = 16
+    ) -> List[np.ndarray]:
+        """ALL (overlapping) match offsets per needle, in input order —
+        the batched ``find_iter`` capability.  Full scans producing packed
+        match bitmaps, read back ``batch`` needles at a time (corpus/8
+        bytes each); prefer ``find_all``/``count_all`` when only first
+        offsets or totals are needed."""
+        from ..searcher import _host_positions
+
+        dh = self._layout(hay)
+        if dh.cols is None:
+            data = dh.host_bytes
+            if data is None:
+                raise ValueError(
+                    "positions on a flat DeviceHaystack requires host bytes"
+                )
+            return [_host_positions(data, nd) for nd in self.needles]
+        out: List[Optional[np.ndarray]] = [None] * len(self.needles)
+        for g in self.groups:
+            vals = np.asarray(g.values_dev)[: g.n]
+            msks = np.asarray(g.masks_dev)[: g.n]
+            ends = np.maximum(dh.length - g.lengths + 1, 0).astype(np.int32)
+            for i0 in range(0, g.n, batch):
+                words = np.asarray(
+                    xla_backend.match_bitmap_batched(
+                        dh.cols,
+                        vals[i0 : i0 + batch],
+                        msks[i0 : i0 + batch],
+                        ends[i0 : i0 + batch],
+                        dh.s,
+                    )
+                )
+                for j in range(words.shape[0]):
+                    out[g.indices[i0 + j]] = xla_backend.decode_match_bitmap(
+                        words[j], dh.s
+                    )
+        return out  # type: ignore[return-value]
+
     def _find_early_exit(
         self, dh: DeviceHaystack, first_chunk: int
     ) -> np.ndarray:

@@ -81,6 +81,20 @@ class DynamicSearcher:
                 return overlapping_count(data, self._inner.needle.data)
         return self._inner.count_in(hay)
 
+    def positions(self, hay: HaystackLike):
+        """All (overlapping) match offsets, ascending (capability
+        extension; see ``SearcherBase.positions``)."""
+        if self._inner.size and not isinstance(hay, DeviceHaystack):
+            data = _hay_bytes(hay)
+            if len(data) <= HOST_HAY_BYTES:
+                from ..searcher import _host_positions
+
+                return _host_positions(data, self._inner.needle.data)
+        return self._inner.positions(hay)
+
+    def find_iter(self, hay: HaystackLike):
+        return iter(self.positions(hay).tolist())
+
     def _host_find(self, data: bytes) -> Optional[int]:
         from ..utils import native
 

@@ -17,7 +17,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .scan_math import SENTINEL, first_offset, packed_windows, probe_acc, value_slicer
+from .scan_math import (
+    SENTINEL,
+    first_offset,
+    packed_windows,
+    probe_acc,
+    segment_positions,
+    value_slicer,
+)
 
 
 @jax.jit
@@ -117,3 +124,91 @@ def find_batched_flat(flat, values, masks, ends):
         jnp.asarray(masks, jnp.uint32),
         jnp.asarray(ends, jnp.int32),
     )
+
+
+# -- all-occurrence positions: packed match bitmaps --------------------------
+#
+# Capability extension (the reference returns bool only; memchr-class
+# libraries expose find_iter): evaluate every position and return a packed
+# uint32 bitmap, 1/8th the corpus in bytes, decoded to sorted offsets on
+# host.  Full scan by construction (an absence proof needs one anyway), so
+# the portable XLA formulation is already at bandwidth; no Pallas variant
+# needed.
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _match_bitmap_cols_impl(cols, values, masks, end, s):
+    seg = s * 128
+    t_num = values.shape[0]
+
+    def one_seg(tile, g_idx):
+        p = packed_windows(tile)
+        probes = [(4 * t, values[t], masks[t]) for t in range(t_num)]
+        acc = probe_acc(value_slicer(p, s), probes)  # (s, 128) bool
+        pos = segment_positions(s) + g_idx * seg
+        valid = jnp.logical_and(acc, pos < end)
+        # Pack 32 consecutive rows per lane into one word: bit b of
+        # word [q, lane] = match at row 32*q + b (decode in
+        # decode_match_bitmap).  Disjoint bits, so a sum is an OR.
+        w = valid.reshape(s // 32, 32, 128).astype(jnp.uint32)
+        shifts = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+        return jnp.sum(w << shifts, axis=1, dtype=jnp.uint32)
+
+    return jax.vmap(one_seg)(cols, jnp.arange(cols.shape[0]))
+
+
+def match_bitmap_cols(cols, values, masks, end, s: int):
+    """Packed match bitmap over the tiled layout: uint32[(G, S/32, 128)],
+    bit ``b`` of word ``[g, q, lane]`` set iff a valid match starts at
+    ``pos = g*S*128 + lane*S + 32*q + b`` (``pos < end`` applied)."""
+    return _match_bitmap_cols_impl(
+        cols,
+        jnp.asarray(values, jnp.uint32),
+        jnp.asarray(masks, jnp.uint32),
+        jnp.asarray(end, jnp.int32),
+        s,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _match_bitmap_batched_impl(cols, values, masks, ends, s):
+    def one(vals, msks, end):
+        return _match_bitmap_cols_impl(cols, vals, msks, end, s)
+
+    return jax.vmap(one)(values, masks, ends)
+
+
+def match_bitmap_batched(cols, values, masks, ends, s: int):
+    """Batched :func:`match_bitmap_cols`: (N, T) probe tables ->
+    uint32[(N, G, S/32, 128)] packed bitmaps (N * corpus/8 bytes — batch
+    callers should chunk N)."""
+    return _match_bitmap_batched_impl(
+        cols,
+        jnp.asarray(values, jnp.uint32),
+        jnp.asarray(masks, jnp.uint32),
+        jnp.asarray(ends, jnp.int32),
+        s,
+    )
+
+
+def decode_match_bitmap(words: "np.ndarray", s: int) -> "np.ndarray":
+    """Decode :func:`match_bitmap_cols` output to sorted match offsets
+    (int64[M], ascending)."""
+    import numpy as np
+
+    words = np.ascontiguousarray(np.asarray(words, dtype=np.uint32))
+    g, q, lanes = words.shape
+    seg = s * lanes
+    bits = np.unpackbits(
+        words.view(np.uint8).reshape(g, q, lanes, 4), axis=-1,
+        bitorder="little",
+    ).reshape(g, q, lanes, 32)
+    gg, qq, ll, bb = np.nonzero(bits)
+    pos = (
+        gg.astype(np.int64) * seg
+        + ll.astype(np.int64) * s
+        + 32 * qq.astype(np.int64)
+        + bb.astype(np.int64)
+    )
+    pos.sort()
+    return pos

@@ -43,6 +43,18 @@ def overlapping_count(data: bytes, needle: bytes) -> int:
     return c
 
 
+def _host_positions(data: bytes, needle: bytes) -> np.ndarray:
+    """Host oracle-grade overlapping match offsets (ascending)."""
+    if len(needle) == 0:
+        return np.arange(len(data) + 1, dtype=np.int64)
+    out = []
+    p = data.find(needle)
+    while p != -1:
+        out.append(p)
+        p = data.find(needle, p + 1)
+    return np.asarray(out, dtype=np.int64)
+
+
 def _hay_bytes(hay: HaystackLike) -> bytes:
     if isinstance(hay, str):
         return hay.encode("utf-8")
@@ -126,6 +138,41 @@ class SearcherBase:
         except NotImplementedError:
             return overlapping_count(data, self.needle.data)
 
+    def positions(self, hay: HaystackLike) -> np.ndarray:
+        """ALL (overlapping) match offsets, ascending (int64[M]) — the
+        ``find_iter`` capability of memchr-class libraries, absent from the
+        reference's bool-only API.  Device path: one full scan producing a
+        packed match bitmap (1/8th corpus bytes), decoded on host; haystacks
+        without a tiled layout fall back to a host scan loop."""
+        from .needle import probe_program
+        from .ops import xla_backend
+
+        k = self.needle.size
+        if isinstance(hay, DeviceHaystack):
+            if hay.length <= k or hay.cols is None:
+                data = self._host_bytes_of(hay)
+                if data is None:
+                    raise ValueError(
+                        "positions on this DeviceHaystack requires host "
+                        "bytes (preprocess with keep_host=True)"
+                    )
+                return _host_positions(data, self.needle.data)
+            dh = hay
+        else:
+            data = _hay_bytes(hay)
+            if len(data) <= SHORT_HAY_BYTES:
+                return _host_positions(data, self.needle.data)
+            dh = self._layout(data)
+        values, masks = probe_program(self.needle.data)
+        words = xla_backend.match_bitmap_cols(
+            dh.cols, values, masks, dh.length - k + 1, dh.s
+        )
+        return xla_backend.decode_match_bitmap(np.asarray(words), dh.s)
+
+    def find_iter(self, hay: HaystackLike):
+        """Iterator over all (overlapping) match offsets, ascending."""
+        return iter(self.positions(hay).tolist())
+
     # -- helpers ------------------------------------------------------------
 
     def _trivial_count(self, data: bytes, k: int) -> int:
@@ -190,6 +237,16 @@ class EmptyNeedleSearcher:
         if isinstance(hay, DeviceHaystack):
             return hay.length + 1
         return len(_hay_bytes(hay)) + 1
+
+    def positions(self, hay: HaystackLike) -> np.ndarray:
+        n = (
+            hay.length if isinstance(hay, DeviceHaystack)
+            else len(_hay_bytes(hay))
+        )
+        return np.arange(n + 1, dtype=np.int64)
+
+    def find_iter(self, hay: HaystackLike):
+        return iter(self.positions(hay).tolist())
 
     def __repr__(self):
         return "EmptyNeedleSearcher()"

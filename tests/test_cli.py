@@ -48,3 +48,16 @@ def test_cli_count(corpus_file, capsys):
     assert "ipsum: 100" in out
     assert "zebra: 0" in out
     assert "or: 200" in out  # "lorem" + "dolor" per repeat
+
+
+def test_cli_positions(corpus_file, capsys):
+    assert main(["positions", "ipsum,zebra", corpus_file]) == 0
+    out = capsys.readouterr().out
+    # "ipsum" occurs at 6, 33, 60, ... (every 27 bytes)
+    assert "ipsum: 6,33,60" in out
+    assert "(+0 more)" not in out
+    assert "zebra: no match" in out
+    # 300 occurrences: only the first 100 print, the rest elided
+    assert main(["positions", "m", corpus_file]) == 0
+    out = capsys.readouterr().out
+    assert "(+200 more)" in out  # 3 'm's per 27-byte repeat
