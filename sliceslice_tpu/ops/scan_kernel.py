@@ -187,10 +187,6 @@ def _raw_batched_call(
             lane_i = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 1)
             gpos0 = lane_i * s + row_i + seg_base
 
-            def needle_body(i, carry):
-                _scan_one(ulist_scr[i])
-                return carry
-
             def _scan_one(n):
                 if unrolled:
                     vals = [val_ref[n, ti] for ti in range(t)]
@@ -285,7 +281,20 @@ def _raw_batched_call(
                 fin = jnp.minimum(out_ref[n, :].reshape(1, LANES), mins)
                 out_ref[n, :] = fin.reshape(LANES)
 
-            jax.lax.fori_loop(0, remaining, needle_body, 0)
+            # Needle loop unrolled by two: the per-needle scalar dispatch
+            # (SMEM table reads, slice bookkeeping) runs at parity with the
+            # VPU on short probe chains, so interleaving two independent
+            # needles' chains lets the scalar core run ahead.
+            def needle_pair(i, carry):
+                _scan_one(ulist_scr[2 * i])
+                _scan_one(ulist_scr[2 * i + 1])
+                return carry
+
+            jax.lax.fori_loop(0, remaining // 2, needle_pair, 0)
+
+            @pl.when(jax.lax.rem(remaining, 2) == 1)
+            def _():
+                _scan_one(ulist_scr[remaining - 1])
 
             # Found flags for the whole block in ONE vectorized cross-lane
             # reduce (per-needle scalar reduces are ~1.5k cycles each on the
