@@ -147,11 +147,11 @@ class BatchedSearcher:
         )
 
         @jax.jit
-        def sweep(cols, tables):
+        def sweep(pw, tables):
             parts = [
                 scan_kernel.batched_find_cols(
-                    cols, v, m, e, s=s, base=base0, pen_full=pf,
-                    last_full=lf, n_real=nr,
+                    None, v, m, e, s=s, base=base0, pen_full=pf,
+                    last_full=lf, n_real=nr, pw=pw,
                 )
                 for (v, m, e), (pf, lf, nr) in zip(tables, flags)
             ]
@@ -177,11 +177,11 @@ class BatchedSearcher:
         )
 
         @jax.jit
-        def sweep(cols, tables):
+        def sweep(pw, tables):
             parts = [
                 scan_kernel.batched_count_cols(
-                    cols, v, m, e, s=s, base=base0, pen_full=pf,
-                    last_full=lf, n_real=nr,
+                    None, v, m, e, s=s, base=base0, pen_full=pf,
+                    last_full=lf, n_real=nr, pw=pw,
                 )
                 for (v, m, e), (pf, lf, nr) in zip(tables, flags)
             ]
@@ -202,7 +202,7 @@ class BatchedSearcher:
             (g.values_dev, g.masks_dev, g.ends_dev(dh.length))
             for g in self.groups
         )
-        return self._count_sweep_fn(dh)(dh.cols, tables)
+        return self._count_sweep_fn(dh)(dh.windows(), tables)
 
     def count_all(self, hay: HaystackLike) -> np.ndarray:
         """Overlapping occurrence count per needle (int64[N]) — extension
@@ -271,7 +271,7 @@ class BatchedSearcher:
                 (g.values_dev, g.masks_dev, g.ends_dev(dh.length))
                 for g in self.groups
             )
-            return self._sweep_fn(dh)(dh.cols, tables)
+            return self._sweep_fn(dh)(dh.windows(), tables)
         return _scatter_groups(
             n, tuple(g.indices.tobytes() for g in self.groups), parts
         )
@@ -342,7 +342,7 @@ class BatchedSearcher:
                 ends = np.maximum(dh.length - grp.lengths[rem] + 1, 0)
                 sub = np.asarray(
                     scan_kernel.batched_find_cols(
-                        dh.cols[g0:g1],
+                        None,
                         vals,
                         msks,
                         ends.astype(np.int32),
@@ -350,6 +350,7 @@ class BatchedSearcher:
                         base=g0 * seg,
                         pen_full=grp.t <= scan_kernel.PROBE_UNROLL,
                         last_full=grp.last_full,
+                        pw=dh.windows()[g0:g1],
                     )
                 )
                 found = sub < SENTINEL

@@ -50,7 +50,7 @@ class PallasSearcher(SearcherBase):
             )
         dh = dh.ensure_kh(k)
         return scan_kernel.batched_find_cols(
-            dh.cols,
+            None,
             self._values,
             self._masks,
             np.asarray([end], np.int32),
@@ -63,6 +63,7 @@ class PallasSearcher(SearcherBase):
                 self._values.shape[1] <= scan_kernel.PROBE_UNROLL
                 and k % 4 == 0
             ),
+            pw=dh.windows(),
         )[0]
 
     def _count_device(self, dh: DeviceHaystack):
@@ -72,7 +73,7 @@ class PallasSearcher(SearcherBase):
             raise NotImplementedError  # flat layout: host fallback
         dh = dh.ensure_kh(k)
         return scan_kernel.batched_count_cols(
-            dh.cols,
+            None,
             self._values,
             self._masks,
             np.asarray([end], np.int32),
@@ -83,6 +84,7 @@ class PallasSearcher(SearcherBase):
                 self._values.shape[1] <= scan_kernel.PROBE_UNROLL
                 and k % 4 == 0
             ),
+            pw=dh.windows(),
         )[0]
 
 

@@ -102,6 +102,14 @@ def _pad_flat(arr: jax.Array, lp: int) -> jax.Array:
     return jnp.pad(arr, (0, lp - arr.shape[0]))
 
 
+@jax.jit
+def _pack_all(cols: jax.Array) -> jax.Array:
+    """cols uint8 (g, h, LANES) -> packed windows uint32 (g, h-3, LANES)."""
+    from .scan_math import packed_windows
+
+    return jax.vmap(packed_windows)(cols)
+
+
 @dataclasses.dataclass
 class DeviceHaystack:
     """A haystack resident on device, preprocessed once and searched many times
@@ -119,6 +127,11 @@ class DeviceHaystack:
     cols: Optional[jax.Array]  # uint8 (g, s+kh, LANES) or None
     flat: Optional[jax.Array]  # uint8 (padded_len,) or None
     host_bytes: Optional[bytes] = None
+    #: packed 4-byte little-endian windows, uint32 (g, s+kh-3, LANES) —
+    #: precomputed once so the scan kernels DMA ready-to-probe windows
+    #: instead of rebuilding them per (needle-block, segment) (4x the u8
+    #: bytes in HBM; the scan is compute-bound, the DMA hides behind it).
+    pw: Optional[jax.Array] = None
 
     @property
     def seg_bytes(self) -> int:
@@ -145,6 +158,14 @@ class DeviceHaystack:
         from ..needle import needed_halo
 
         return self.ensure_halo(needed_halo(k))
+
+    def windows(self) -> jax.Array:
+        """Packed uint32 windows (g, s+kh-3, LANES), built once and cached."""
+        if self.pw is None:
+            if self.cols is None:
+                raise ValueError("flat layout has no tiled windows")
+            self.pw = _pack_all(self.cols)
+        return self.pw
 
 
 def preprocess(
@@ -185,10 +206,12 @@ def preprocess(
     padded = np.zeros((total,), dtype=np.uint8)
     padded[:length] = arr
     cols = _build_cols(jnp.asarray(padded), g, s, kh)
-    return DeviceHaystack(
+    dh = DeviceHaystack(
         length=length, kh=kh, s=s, g=g, cols=cols, flat=None,
         host_bytes=data if keep_host else None,
     )
+    dh.windows()  # eager: part of the preprocess-once cost
+    return dh
 
 
 def position_grid(s: int) -> np.ndarray:

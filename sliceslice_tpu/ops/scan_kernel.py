@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
-from .scan_math import SENTINEL, lane_first_offset, packed_windows
+from .scan_math import SENTINEL, lane_first_offset
 
 LANES = 128
 
@@ -53,6 +53,11 @@ CHUNK_ROWS = 1024
 #: Probe-table widths up to this are fully unrolled; wider tables (long
 #: needles) loop probe pairs.  Both paths read the aligned (P, P+4) pair.
 PROBE_UNROLL = 8
+
+#: In-segment "no match row" sentinel for per-lane row minima: far above any
+#: real row index (rows < SEG_CAP) yet small enough that adding a chunk
+#: offset can never overflow int32.
+NO_ROW = 1 << 30
 
 
 @functools.lru_cache(maxsize=256)
@@ -70,9 +75,10 @@ def _raw_batched_call(
 ):
     """Build the bare batched scan pallas_call:
     (values[n_pad,t]u32, masks[n_pad,t]u32, base[1]i32, row0[1]i32,
-    cols[g,h,128]u8) -> lane-min offsets [n_pad, LANES] i32 (end mask NOT
-    applied; rows >= n_real are never scanned and their output is
-    unspecified — callers slice them away).
+    pw[g,h-3,128]u32 precomputed packed windows) -> lane-min offsets
+    [n_pad, LANES] i32 (end mask NOT applied; rows >= n_real are never
+    scanned and their output is unspecified — callers slice them away).
+    ``h`` is the cols row count (s + halo); pw carries h-3 window rows.
 
     Grid = needle blocks ONLY; segments are walked by an in-kernel
     ``while_loop`` with manually double-buffered DMA from HBM.  That makes
@@ -125,67 +131,70 @@ def _raw_batched_call(
         raise ValueError("probe widths beyond PROBE_UNROLL must be even")
 
     def kernel(
-        val_ref, msk_ref, base_ref, row0_ref, cols_hbm, out_ref,
-        buf_scr, sem, p_scr, p4_scr, flags_scr, ulist_scr,
+        val_ref, msk_ref, base_ref, row0_ref, pw_hbm, out_ref,
+        pbuf, p4buf, sem, flags_scr, ulist_scr,
     ):
         nbi = pl.program_id(0)
 
         # ulist_scr[0:remaining] holds the indices of still-unfound needles:
         # the needle loop iterates ONLY those (exact early-exit economics —
         # found needles cost zero, not even a flag check per segment).
-        # Seed with this block's REAL rows only: padded rows are excluded
-        # from the start and never cost a scan.
+        # Until the first compaction the list is the identity over this
+        # block's REAL rows (0..cnt0), tracked by the ``compacted`` carry
+        # flag instead of a per-block scalar seed loop — padded rows are
+        # excluded from the start and never cost a scan.
         start = row0_ref[0] + nbi * nblk
         cnt0 = jnp.clip(n_real - start, 0, nblk)
-
-        def ident(i, c):
-            ulist_scr[i] = i
-            return c
-
-        jax.lax.fori_loop(0, cnt0, ident, 0)
 
         # One vectorized init per block replaces a per-(needle, segment)
         # where(gi == 0, SENTINEL, prev) select in the epilogue; also pins
         # never-scanned (padded) rows to SENTINEL instead of leaving them
         # unspecified.
         out_ref[:] = jnp.full((nblk, LANES), SENTINEL, jnp.int32)
+        flags_scr[:, :] = jnp.zeros((nblk, 1), jnp.int32)
 
         def seg_dma(gi, slot):
-            return pltpu.make_async_copy(
-                cols_hbm.at[gi], buf_scr.at[slot], sem.at[slot]
+            # Two copies per segment from the same precomputed HBM window
+            # array: the base windows and the +4-row-shifted view (probe
+            # slot ti reads one of the two at an 8-row-aligned offset) —
+            # no in-kernel packing, no unaligned dynamic slices.
+            return (
+                pltpu.make_async_copy(
+                    pw_hbm.at[gi, pl.ds(0, h - 3)], pbuf.at[slot],
+                    sem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    pw_hbm.at[gi, pl.ds(4, h - 7)], p4buf.at[slot],
+                    sem.at[slot, 1],
+                ),
             )
 
         # Kick off segment 0 into slot 0 (waited either by the first loop
         # iteration or, for an empty block, by the epilogue drain).
-        seg_dma(0, 0).start()
+        for c in seg_dma(0, 0):
+            c.start()
 
-        def _scan_segment(gi, remaining):
+        # Constants shared by every segment: in-chunk row iota (the only
+        # per-position plane the probes need — the lane*s and seg_base
+        # components of the global offset are added on (1, LANES) minima in
+        # the per-needle epilogue) and the per-lane column base.
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 0)
+        lane_mul = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) * s
+
+        def _scan_segment(gi, remaining, compacted):
             slot = jax.lax.rem(gi, 2)
             # Speculatively prefetch the next segment into the other slot
             # while this one is scanned: wasted only on the final scanned
-            # segment (64 KB of read bandwidth), hidden behind compute
+            # segment (256 KB of read bandwidth), hidden behind compute
             # otherwise.
             @pl.when(gi + 1 < g)
             def _():
-                seg_dma(gi + 1, jax.lax.rem(gi + 1, 2)).start()
+                for c in seg_dma(gi + 1, jax.lax.rem(gi + 1, 2)):
+                    c.start()
 
-            seg_dma(gi, slot).wait()
-            # Build packed 4-byte windows for this segment (amortized over
-            # the needles scanned below), plus a +4-row pre-shifted copy:
-            # probe slot ti then reads one of the two at an 8-row-aligned
-            # offset — no per-chunk slab materialization and no unaligned
-            # dynamic slices.
-            p_scr[:] = packed_windows(buf_scr[slot])
-            p4_scr[:] = p_scr[4 : 4 + (h - 7), :]
+            for c in seg_dma(gi, slot):
+                c.wait()
             seg_base = base_ref[0] + gi * seg
-            # Hoisted per-step position plane: global offset of (row,
-            # lane) in chunk 0 of this segment.  Matches are NOT masked
-            # against end here; min over all matches is exact because
-            # invalid "matches" can only lie at positions >= end, filtered
-            # once outside the kernel.
-            row_i = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 0)
-            lane_i = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 1)
-            gpos0 = lane_i * s + row_i + seg_base
 
             def _scan_one(n):
                 if unrolled:
@@ -205,12 +214,12 @@ def _raw_batched_call(
                     row0 = pl.multiple_of(ci * cs, cs)
 
                     def windows(ti):
-                        # Slot ti's windows from the aligned scratch pair:
+                        # Slot ti's windows from the aligned buffer pair:
                         # even ti from P, odd ti from the +4-shifted copy —
                         # both at 8-row-aligned dynamic offsets.
-                        src = p_scr if ti % 2 == 0 else p4_scr
+                        src = pbuf if ti % 2 == 0 else p4buf
                         off = pl.multiple_of(row0 + 4 * (ti - ti % 2), 8)
-                        return src[pl.ds(off, cs), :]
+                        return src[slot, pl.ds(off, cs), :]
 
                     if unrolled:
                         # Straight-line unrolled probes — no per-slot
@@ -250,10 +259,11 @@ def _raw_batched_call(
                         def probe_pair(j, acc_c):
                             off = pl.multiple_of(row0 + 8 * j, 8)
                             eq0 = (
-                                p_scr[pl.ds(off, cs), :] & msk_ref[n, 2 * j]
+                                pbuf[slot, pl.ds(off, cs), :]
+                                & msk_ref[n, 2 * j]
                             ) == val_ref[n, 2 * j]
                             eq4 = (
-                                p4_scr[pl.ds(off, cs), :]
+                                p4buf[slot, pl.ds(off, cs), :]
                                 & msk_ref[n, 2 * j + 1]
                             ) == val_ref[n, 2 * j + 1]
                             both = jnp.logical_and(eq0, eq4)
@@ -264,12 +274,17 @@ def _raw_batched_call(
                             jnp.ones((cs, LANES), jnp.uint32),
                         )
                         acc = acc_u != 0
-                    gpos = jnp.where(acc, gpos0 + row0, SENTINEL)
-                    return jnp.minimum(
-                        mins, jnp.min(gpos, axis=0, keepdims=True)
+                    # Per-lane min ROW of a match (NO_ROW when none): the
+                    # lane*s + seg_base components of the global offset are
+                    # lane/segment constants, added on the (1, LANES) result
+                    # in the epilogue — no per-position offset plane at all.
+                    lmin = jnp.min(
+                        jnp.where(acc, row_iota, NO_ROW),
+                        axis=0, keepdims=True,
                     )
+                    return jnp.minimum(mins, lmin + row0)
 
-                init = jnp.full((1, LANES), SENTINEL, dtype=jnp.int32)
+                init = jnp.full((1, LANES), NO_ROW, dtype=jnp.int32)
                 if n_chunks <= 4:
                     # Unrolled: the scalar fori machinery is comparable to a
                     # whole vector pass at these trip counts.
@@ -278,38 +293,64 @@ def _raw_batched_call(
                         mins = chunk_body(ci, mins)
                 else:
                     mins = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
-                fin = jnp.minimum(out_ref[n, :].reshape(1, LANES), mins)
+                gmin = jnp.where(
+                    mins < NO_ROW, mins + lane_mul + seg_base, SENTINEL
+                )
+                fin = jnp.minimum(out_ref[n, :].reshape(1, LANES), gmin)
                 out_ref[n, :] = fin.reshape(LANES)
 
-            # Needle loop unrolled by two: the per-needle scalar dispatch
+            def nth(idx):
+                # Identity until the first compaction (the list is never
+                # seeded); the SMEM read costs a few scalar cycles.
+                return jax.lax.select(compacted == 1, ulist_scr[idx], idx)
+
+            def scan_idx(idx):
+                _scan_one(nth(idx))
+
+            # Needle loop unrolled by four: the per-needle scalar dispatch
             # (SMEM table reads, slice bookkeeping) runs at parity with the
-            # VPU on short probe chains, so interleaving two independent
-            # needles' chains lets the scalar core run ahead.
-            def needle_pair(i, carry):
-                _scan_one(ulist_scr[2 * i])
-                _scan_one(ulist_scr[2 * i + 1])
+            # VPU on short probe chains, so interleaving independent needles'
+            # chains lets the scalar core run ahead.
+            def needle_quad(i, carry):
+                scan_idx(4 * i)
+                scan_idx(4 * i + 1)
+                scan_idx(4 * i + 2)
+                scan_idx(4 * i + 3)
                 return carry
 
-            jax.lax.fori_loop(0, remaining // 2, needle_pair, 0)
+            jax.lax.fori_loop(0, remaining // 4, needle_quad, 0)
 
-            @pl.when(jax.lax.rem(remaining, 2) == 1)
-            def _():
-                _scan_one(ulist_scr[remaining - 1])
+            def needle_tail(i, carry):
+                scan_idx(i)
+                return carry
+
+            jax.lax.fori_loop(
+                (remaining // 4) * 4, remaining, needle_tail, 0
+            )
 
             # Found flags for the whole block in ONE vectorized cross-lane
             # reduce (per-needle scalar reduces are ~1.5k cycles each on the
             # VPU), then left-compact the unfound list in place (reads run
             # ahead of writes, so in-place is safe).  This is the reference's
             # first-match early return (src/lib.rs:242-244) at segment
-            # granularity.
+            # granularity.  The compact loop is scalar work proportional to
+            # ``remaining``: it only runs when this segment found something
+            # new, and it reads the flags from an SMEM copy (one small DMA)
+            # — scalar reads from VMEM cost tens of cycles each, the SMEM
+            # read a couple.
             block = out_ref[:]
             found = (
                 jnp.min(block, axis=1, keepdims=True) < SENTINEL
             ).astype(jnp.int32)
             flags_scr[:, :] = found
+            # Padded / out-of-block rows are never scanned and stay SENTINEL
+            # (found=0), so the full-block sum counts exactly the real founds.
+            n_found = jnp.sum(found)
+            live = cnt0 - n_found
+            dead = remaining - live  # found entries still in the list
 
             def compact(i, cnt):
-                n = ulist_scr[i]
+                n = nth(i)
                 keep = (flags_scr[n, 0] == 0).astype(jnp.int32)
 
                 @pl.when(keep == 1)
@@ -318,20 +359,30 @@ def _raw_batched_call(
 
                 return cnt + keep
 
-            return jax.lax.fori_loop(0, remaining, compact, 0)
+            remaining, compacted = jax.lax.cond(
+                jnp.logical_and(live > 0, dead > 0),
+                lambda: (jax.lax.fori_loop(0, remaining, compact, 0),
+                         jnp.int32(1)),
+                lambda: (remaining, compacted),
+            )
+            return remaining, live, compacted
 
         # Walk segments until every needle in the block is found (or the
         # corpus ends): the total early exit — later segments cost nothing.
         def loop_cond(carry):
-            gi, remaining = carry
-            return jnp.logical_and(gi < g, remaining > 0)
+            gi, _remaining, live, _compacted = carry
+            return jnp.logical_and(gi < g, live > 0)
 
         def loop_body(carry):
-            gi, remaining = carry
-            return gi + 1, _scan_segment(gi, remaining)
+            gi, remaining, live, compacted = carry
+            remaining, live, compacted = _scan_segment(
+                gi, remaining, compacted
+            )
+            return gi + 1, remaining, live, compacted
 
-        gi_end, _rem = jax.lax.while_loop(
-            loop_cond, loop_body, (jnp.int32(0), cnt0)
+        gi_end, _rem, _live, _comp = jax.lax.while_loop(
+            loop_cond, loop_body,
+            (jnp.int32(0), cnt0, cnt0, jnp.int32(0)),
         )
 
         # Drain the in-flight speculative prefetch (or the unconsumed
@@ -339,7 +390,8 @@ def _raw_batched_call(
         # kernel.
         @pl.when(gi_end < g)
         def _():
-            seg_dma(gi_end, jax.lax.rem(gi_end, 2)).wait()
+            for c in seg_dma(gi_end, jax.lax.rem(gi_end, 2)):
+                c.wait()
 
     return pl.pallas_call(
         kernel,
@@ -349,17 +401,16 @@ def _raw_batched_call(
             pl.BlockSpec((nblk, t), lambda nb: (nb, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda nb: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda nb: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # cols stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # packed windows stay in HBM
         ],
         out_specs=pl.BlockSpec(
             (nblk, LANES), lambda nb: (nb, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, LANES), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((2, h, LANES), jnp.uint8),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((h - 3, LANES), jnp.uint32),
-            pltpu.VMEM((h - 7, LANES), jnp.uint32),
+            pltpu.VMEM((2, h - 3, LANES), jnp.uint32),
+            pltpu.VMEM((2, h - 7, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.VMEM((nblk, 1), jnp.int32),
             pltpu.SMEM((nblk,), jnp.int32),
         ],
@@ -392,9 +443,9 @@ def _batched_call(
         n_real=n_out if n_real is None else n_real,
     )
     @jax.jit
-    def run(values, masks, ends, base, cols):
+    def run(values, masks, ends, base, pw):
         row0 = jnp.zeros((1,), jnp.int32)
-        out = call(values, masks, base, row0, cols)
+        out = call(values, masks, base, row0, pw)
         first = jnp.min(out[:n_out], axis=-1)
         return jnp.where(first < ends[:n_out], first, SENTINEL)
 
@@ -423,7 +474,7 @@ def _lane_reduce(out):
 
 
 def batched_find_cols(
-    cols: jax.Array,
+    cols: jax.Array | None,
     values: np.ndarray,
     masks: np.ndarray,
     ends: np.ndarray,
@@ -434,6 +485,7 @@ def batched_find_cols(
     pen_full: bool = False,
     last_full: bool = False,
     n_real: int | None = None,
+    pw: jax.Array | None = None,
 ) -> jax.Array:
     """First-match offsets (int32[N], SENTINEL when absent) of N needles over
     the tiled haystack.  ``n_real``: true (non-padded) row count when the
@@ -453,8 +505,19 @@ def batched_find_cols(
     (models/batched.py, parallel/shard_scan.py) satisfy both by construction
     (build_probe_table pre-masks); host ndarray tables are re-masked here
     defensively.  Padded rows (all-zero masks) are permitted only when their
-    ``end`` is 0."""
-    g, h, lanes = cols.shape
+    ``end`` is 0.
+
+    ``pw``: precomputed packed windows (``DeviceHaystack.windows()``);
+    derived from ``cols`` on the fly when absent (one extra pass over the
+    corpus — hot paths pass it)."""
+    if pw is None:
+        from .layout import _pack_all
+
+        pw = _pack_all(cols)
+        g, h, lanes = cols.shape
+    else:
+        g, rows, lanes = pw.shape
+        h = rows + 3
     assert lanes == LANES
     if isinstance(values, np.ndarray) and isinstance(masks, np.ndarray):
         values = values & masks
@@ -510,7 +573,7 @@ def batched_find_cols(
     )
     if isinstance(base, (int, np.integer)):
         base = jnp.asarray([base], jnp.int32)
-    return run(values, masks, ends, base.reshape(1), cols)
+    return run(values, masks, ends, base.reshape(1), pw)
 
 
 @functools.lru_cache(maxsize=64)
@@ -609,7 +672,7 @@ def _raw_count_call(
     needle, since spurious tail "matches" would otherwise inflate counts.
 
     (values[n_pad,t]u32, masks[n_pad,t]u32, ends[n_pad,1]i32, base[1]i32,
-    row0[1]i32, cols[g,h,128]u8) -> lane counts [n_pad, LANES] i32 (rows
+    row0[1]i32, pw[g,h-3,128]u32) -> lane counts [n_pad, LANES] i32 (rows
     >= n_real unspecified)."""
     if last_full:
         pen_full = True
@@ -628,17 +691,18 @@ def _raw_count_call(
         raise ValueError("probe widths beyond PROBE_UNROLL must be even")
 
     def kernel(
-        val_ref, msk_ref, end_ref, base_ref, row0_ref, cols_ref, out_ref,
-        p_scr, p4_scr,
+        val_ref, msk_ref, end_ref, base_ref, row0_ref, pw_ref, out_ref,
+        p4_scr,
     ):
         gi = pl.program_id(1)
         nbi = pl.program_id(0)
-        p_scr[:] = packed_windows(cols_ref[0])
-        p4_scr[:] = p_scr[4 : 4 + (h - 7), :]
+        # The +4-row-shifted copy of the precomputed windows (odd probe
+        # slots read it at 8-row-aligned offsets); the base windows are the
+        # input block itself.
+        p4_scr[:] = pw_ref[0, 4 : 4 + (h - 7), :]
         seg_base = base_ref[0] + gi * seg
-        row_i = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 0)
-        lane_i = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 1)
-        gpos0 = lane_i * s + row_i + seg_base
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 0)
+        lane_mul = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) * s
         start = row0_ref[0] + nbi * nblk
         cnt = jnp.clip(n_real - start, 0, nblk)
 
@@ -650,14 +714,19 @@ def _raw_count_call(
                 if t >= 2 and not pen_full:
                     pen_msk = msk_ref[n, t - 2]
             end_n = end_ref[n, 0]
+            # Per-lane valid-row threshold: pos = lane*s + row + seg_base
+            # < end  <=>  row < thr[lane]; a (1, LANES) plane instead of a
+            # full per-position offset plane.
+            thr = end_n - seg_base - lane_mul
 
             def chunk_body(ci, lane_counts):
                 row0 = pl.multiple_of(ci * cs, cs)
 
                 def windows(ti):
-                    src = p_scr if ti % 2 == 0 else p4_scr
                     off = pl.multiple_of(row0 + 4 * (ti - ti % 2), 8)
-                    return src[pl.ds(off, cs), :]
+                    if ti % 2 == 0:
+                        return pw_ref[0, pl.ds(off, cs), :]
+                    return p4_scr[pl.ds(off, cs), :]
 
                 if unrolled:
                     # Pre-masked table values: (w & m) == v, see find kernel.
@@ -684,7 +753,7 @@ def _raw_count_call(
                     def probe_pair(j, acc_c):
                         off = pl.multiple_of(row0 + 8 * j, 8)
                         eq0 = (
-                            p_scr[pl.ds(off, cs), :] & msk_ref[n, 2 * j]
+                            pw_ref[0, pl.ds(off, cs), :] & msk_ref[n, 2 * j]
                         ) == val_ref[n, 2 * j]
                         eq4 = (
                             p4_scr[pl.ds(off, cs), :] & msk_ref[n, 2 * j + 1]
@@ -697,7 +766,7 @@ def _raw_count_call(
                         jnp.ones((cs, LANES), jnp.uint32),
                     )
                     acc = acc_u != 0
-                valid = jnp.logical_and(acc, (gpos0 + row0) < end_n)
+                valid = jnp.logical_and(acc, row_iota < (thr - row0))
                 return lane_counts + jnp.sum(
                     valid.astype(jnp.int32), axis=0, keepdims=True
                 )
@@ -730,7 +799,8 @@ def _raw_count_call(
             pl.BlockSpec((1,), lambda nb, gi: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda nb, gi: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, h, LANES), lambda nb, gi: (gi, 0, 0), memory_space=pltpu.VMEM
+                (1, h - 3, LANES), lambda nb, gi: (gi, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -738,7 +808,6 @@ def _raw_count_call(
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, LANES), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((h - 3, LANES), jnp.uint32),
             pltpu.VMEM((h - 7, LANES), jnp.uint32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -760,16 +829,16 @@ def _count_call(
     )
 
     @jax.jit
-    def run(values, masks, ends, base, cols):
+    def run(values, masks, ends, base, pw):
         row0 = jnp.zeros((1,), jnp.int32)
-        out = call(values, masks, ends.reshape(-1, 1), base, row0, cols)
+        out = call(values, masks, ends.reshape(-1, 1), base, row0, pw)
         return jnp.sum(out[:n_out], axis=-1)
 
     return run
 
 
 def batched_count_cols(
-    cols: jax.Array,
+    cols: jax.Array | None,
     values: np.ndarray,
     masks: np.ndarray,
     ends: np.ndarray,
@@ -780,13 +849,22 @@ def batched_count_cols(
     pen_full: bool = False,
     last_full: bool = False,
     n_real: int | None = None,
+    pw: jax.Array | None = None,
 ) -> jax.Array:
     """Count of OVERLAPPING occurrences (int32[N]) of N needles over the
     tiled haystack — capability extension over the reference's bool
     ``search_in`` (counts need the same full scan a no-match search does,
     so there is no early-exit economics to recover).  Same probe-table
-    contract as :func:`batched_find_cols` (incl. pre-masked values)."""
-    g, h, lanes = cols.shape
+    contract as :func:`batched_find_cols` (incl. pre-masked values and the
+    optional precomputed ``pw`` windows)."""
+    if pw is None:
+        from .layout import _pack_all
+
+        pw = _pack_all(cols)
+        g, h, lanes = cols.shape
+    else:
+        g, rows, lanes = pw.shape
+        h = rows + 3
     assert lanes == LANES
     if isinstance(values, np.ndarray) and isinstance(masks, np.ndarray):
         values = values & masks
@@ -821,4 +899,4 @@ def batched_count_cols(
     )
     if isinstance(base, (int, np.integer)):
         base = jnp.asarray([base], jnp.int32)
-    return run(values, masks, ends, base.reshape(1), cols)
+    return run(values, masks, ends, base.reshape(1), pw)

@@ -62,7 +62,7 @@ def _sharded_call(
         n_real=n_real,
     )
 
-    def local_fn(cols_l, vals_l, msks_l, ends_l):
+    def local_fn(pw_l, vals_l, msks_l, ends_l):
         shard = jax.lax.axis_index(DATA_AXIS)
         base = (shard * g_local * seg).astype(jnp.int32).reshape(1)
         # Global row offset of this needle shard: the kernel skips padded
@@ -70,7 +70,7 @@ def _sharded_call(
         row0 = (
             jax.lax.axis_index(NEEDLE_AXIS) * n_local
         ).astype(jnp.int32).reshape(1)
-        out = raw(vals_l, msks_l, base, row0, cols_l)  # (n_local, LANES)
+        out = raw(vals_l, msks_l, base, row0, pw_l)  # (n_local, LANES)
         first = jnp.min(out, axis=-1)
         # The one collective of the whole workload: min offset across the
         # corpus shards (rides ICI; one int32 per needle).
@@ -120,14 +120,14 @@ def _sharded_count_call(
         n_real=n_real,
     )
 
-    def local_fn(cols_l, vals_l, msks_l, ends_l):
+    def local_fn(pw_l, vals_l, msks_l, ends_l):
         shard = jax.lax.axis_index(DATA_AXIS)
         base = (shard * g_local * seg).astype(jnp.int32).reshape(1)
         row0 = (
             jax.lax.axis_index(NEEDLE_AXIS) * n_local
         ).astype(jnp.int32).reshape(1)
         out = raw(
-            vals_l, msks_l, ends_l.reshape(-1, 1), base, row0, cols_l
+            vals_l, msks_l, ends_l.reshape(-1, 1), base, row0, pw_l
         )
         counts = jnp.sum(out, axis=-1)
         return jax.lax.psum(counts, DATA_AXIS)
@@ -226,8 +226,9 @@ def _sharded_homogeneous(
 ) -> jax.Array:
     if dh.cols is None:
         raise ValueError("sharded scan requires a tiled (cols) layout")
-    cols = dh.cols
-    g, h, lanes = cols.shape
+    pw = dh.windows()
+    g, rows, lanes = pw.shape
+    h = rows + 3  # cols row count (s + halo); pw carries h-3 window rows
     assert lanes == LANES
     masks = jnp.asarray(masks, jnp.uint32)
     # Kernels use the 2-op (w & m) == v compare; re-mask defensively in case
@@ -249,7 +250,7 @@ def _sharded_homogeneous(
     g_pad = _round_up(g, n_data)
     if g_pad != g:
         # All-pad segments: their positions lie beyond every needle's end.
-        cols = jnp.pad(cols, ((0, g_pad - g), (0, 0), (0, 0)))
+        pw = jnp.pad(pw, ((0, g_pad - g), (0, 0), (0, 0)))
     nblk = nblk or min(config.NEEDLE_BLOCK, _round_up(max(n // n_needle, 1), 8))
     n_pad = _round_up(n, n_needle * nblk)
     if n_pad != n:
@@ -264,11 +265,11 @@ def _sharded_homogeneous(
         mesh, g_pad, h, dh.s, t, nblk, n_pad, interpret, pen_full,
         n_real=n,
     )
-    cols = jax.device_put(cols, corpus_sharding(mesh))
+    pw = jax.device_put(pw, corpus_sharding(mesh))
     values = jax.device_put(values, table_sharding(mesh))
     masks = jax.device_put(masks, table_sharding(mesh))
     ends = jax.device_put(ends, NamedSharding(mesh, P(NEEDLE_AXIS)))
-    return run(cols, values, masks, ends)[:n]
+    return run(pw, values, masks, ends)[:n]
 
 
 class ShardedBatchedSearcher:
