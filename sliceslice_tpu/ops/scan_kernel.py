@@ -196,6 +196,21 @@ def _raw_batched_call(
                 c.wait()
             seg_base = base_ref[0] + gi * seg
 
+            # Single-chunk segments: the window slices are identical for
+            # every needle in the block — hoist them out of the needle loop
+            # so they are loaded once per segment (loop-invariant values)
+            # instead of once per needle.  Bounded to t <= 4 (<= 1 MiB of
+            # live windows) to keep Mosaic register/stack pressure sane.
+            hoisted = None
+            if unrolled and n_chunks == 1 and t <= 4:
+
+                def _win0(ti):
+                    src = pbuf if ti % 2 == 0 else p4buf
+                    off = pl.multiple_of(4 * (ti - ti % 2), 8)
+                    return src[slot, pl.ds(off, cs), :]
+
+                hoisted = tuple(_win0(ti) for ti in range(t))
+
             def _scan_one(n):
                 if unrolled:
                     vals = [val_ref[n, ti] for ti in range(t)]
@@ -217,6 +232,8 @@ def _raw_batched_call(
                         # Slot ti's windows from the aligned buffer pair:
                         # even ti from P, odd ti from the +4-shifted copy —
                         # both at 8-row-aligned dynamic offsets.
+                        if hoisted is not None:
+                            return hoisted[ti]
                         src = pbuf if ti % 2 == 0 else p4buf
                         off = pl.multiple_of(row0 + 4 * (ti - ti % 2), 8)
                         return src[slot, pl.ds(off, cs), :]
