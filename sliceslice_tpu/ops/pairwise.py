@@ -75,14 +75,17 @@ def _pair_block(valt, mskt, ln, pht, lh, tn, mi):
             # Pre-masked values (needle.py contract): 2-op masked compare.
             eq = (hrow[None, :] & mskt[t][:, None]) == valt[t][:, None]
             m = eq if m is None else jnp.logical_and(m, eq)
-        hit = jnp.logical_and(m, i <= limit)
-        # Carry only the first-offset plane; containment is first < mi.
-        return jnp.minimum(first, jnp.where(hit, i, jnp.int32(mi))), None
+        # i runs DESCENDING, so a plain select keeps the smallest matching
+        # i — one pass instead of a guarded min.  Validity (i <= limit) is
+        # a PREFIX of the scan range, so the smallest raw match is valid
+        # iff it is <= limit: filtered once after the loop, not per step.
+        return jnp.where(m, i, first), None
 
     first0 = jnp.full((nb, hb), mi, dtype=jnp.int32)
     first, _ = jax.lax.scan(
-        i_step, first0, jnp.arange(mi, dtype=jnp.int32)
+        i_step, first0, jnp.arange(mi - 1, -1, -1, dtype=jnp.int32)
     )
+    first = jnp.where(first <= limit, first, jnp.int32(mi))
     return first < mi, first
 
 
@@ -109,15 +112,20 @@ def _pair_block_call(
         vb = [jnp.broadcast_to(vcol_ref[:, t : t + 1], (bn, bh)) for t in range(tn)]
         mb = [jnp.broadcast_to(mcol_ref[:, t : t + 1], (bn, bh)) for t in range(tn)]
         acc = jnp.full((bn, bh), mi, jnp.int32)
-        for i in range(mi):  # static unroll: i and 4t are compile-time rows
+        # i runs DESCENDING (static unroll: i and 4t are compile-time
+        # rows), so a plain select keeps the smallest matching i — one
+        # vector pass instead of the 3-pass guarded update.  Validity
+        # (i <= limit) is a PREFIX of the range, so the smallest raw match
+        # is valid iff <= limit: one post-loop filter replaces the per-i
+        # compare+and.
+        for i in range(mi - 1, -1, -1):
             m = None
             for t in range(tn):
                 hrow = pht_ref[i + 4 * t : i + 4 * t + 1, :]  # (1, bh)
                 eq = (hrow & mb[t]) == vb[t]  # values pre-masked (needle.py)
                 m = eq if m is None else jnp.logical_and(m, eq)
-            hit = jnp.logical_and(m, i <= limit)
-            acc = jnp.where(jnp.logical_and(hit, acc == mi), jnp.int32(i), acc)
-        out_ref[...] = acc
+            acc = jnp.where(m, jnp.int32(i), acc)
+        out_ref[...] = jnp.where(acc <= limit, acc, jnp.int32(mi))
 
     return pl.pallas_call(
         kernel,
