@@ -30,9 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import config
 
 #: Block edge for the pair matrix (tile = BLOCK x BLOCK pairs).  Tuned on
-#: v5e: large blocks amortize dispatch; 2048^2 pairs/tile beats the
-#: reference sweep by ~1.6x.
-BLOCK = 2048
+#: v5e: finer blocks give the static plan tighter per-block (tn, mi)
+#: buckets and more skipped all-false blocks on length-sorted word lists
+#: (512 -> 1.15 ms vs 2048 -> 1.43 ms on the i386 sweep); dispatch stays
+#: flat because the whole plan is one fused jit program.
+BLOCK = 512
 
 
 def pack_words(words: Sequence[bytes], width: int):
