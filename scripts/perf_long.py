@@ -60,10 +60,13 @@ def main():
     fullscan = [bytes([0xFF]) + bytes(rng.integers(1, 255, 7).tolist())
                 for _ in range(len(words))]
 
-    # sparse: one never-found needle per 128-needle block — every block walks
-    # every segment but with ~zero probe work: isolates per-step overhead.
+    # sparse: one never-found needle per kernel block (config.NEEDLE_BLOCK
+    # rows) — every block walks every segment but with ~zero probe work:
+    # isolates per-step (DMA wait + compaction + loop) overhead.
+    from sliceslice_tpu import config
+
     sparse = list(floor)
-    for i in range(0, len(sparse), 128):
+    for i in range(0, len(sparse), config.NEEDLE_BLOCK):
         sparse[i] = fullscan[i]
 
     run("real", words, dh, total, k)

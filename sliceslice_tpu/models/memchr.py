@@ -35,10 +35,11 @@ class MemchrSearcher(SearcherBase):
             raise NotImplementedError  # flat layout: host fallback
         vals, msks = probe_program(self.needle.data)
         return scan_kernel.batched_count_cols(
-            dh.cols,
+            None,
             np.asarray([vals], np.uint32),
             np.asarray([msks], np.uint32),
             np.asarray([dh.length], np.int32),
             s=dh.s,
             nblk=1,
+            pw=dh.windows(),
         )[0]

@@ -39,8 +39,11 @@ MIN_KH = 3
 #: Default halo supports needles up to 64 bytes without relayout.
 DEFAULT_KH = 64
 #: Max rows per segment (4096 rows * 128 lanes = 512 KiB).  Sized so the
-#: kernel's packed-window scratch (4 bytes/row-lane) plus temporaries stay
-#: comfortably inside the ~16 MiB VMEM scoped-allocation budget.
+#: find kernel's double-buffered packed-window scratch (two uint32 buffer
+#: pairs, ~16 bytes/row-lane ≈ 8.5 MiB at this cap) plus chunk temporaries
+#: stays inside the ~16 MiB VMEM scoped-allocation budget — verified to
+#: compile and run at this cap with the widest unrolled (t=8) and
+#: pair-looped (t=16) probe tables on v5e.
 SEG_CAP_ROWS = 4096
 #: Haystacks at or below this many bytes use the flat (non-tiled) XLA path.
 SHORT_HAY_BYTES = 8192

@@ -351,10 +351,10 @@ def _raw_batched_call(
             # ahead of writes, so in-place is safe).  This is the reference's
             # first-match early return (src/lib.rs:242-244) at segment
             # granularity.  The compact loop is scalar work proportional to
-            # ``remaining``: it only runs when this segment found something
-            # new, and it reads the flags from an SMEM copy (one small DMA)
-            # — scalar reads from VMEM cost tens of cycles each, the SMEM
-            # read a couple.
+            # ``remaining`` and only runs when this segment found something
+            # new; its per-needle flag reads come straight from VMEM (an
+            # SMEM-staged copy was tried and measured slower — the staging
+            # DMA cost more than the VMEM scalar reads it saved).
             block = out_ref[:]
             found = (
                 jnp.min(block, axis=1, keepdims=True) < SENTINEL

@@ -115,12 +115,13 @@ class StreamingScanner:
                     )
                 else:
                     first = scan_kernel.batched_find_cols(
-                        dh.cols,
+                        None,
                         grp.values_dev,
                         grp.masks_dev,
                         ends.astype(np.int32),
                         s=dh.s,
                         base=base,
+                        pw=dh.windows(),
                     )
                 parts.append(first)
                 blobs.append(grp.indices.tobytes())
