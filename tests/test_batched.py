@@ -79,3 +79,34 @@ def test_early_exit_parity(rng):
 def test_empty_batch():
     bs = BatchedSearcher([])
     assert bs.find_all(b"anything").shape == (0,)
+
+
+def test_raw_kernel_cols_fallback(rng):
+    """The raw kernel entry points accept byte tiles WITHOUT precomputed
+    windows (pw=None packs on the fly) and must agree with the pw path and
+    the oracle — guards the external raw-API contract now that every
+    internal caller passes pw."""
+    from sliceslice_tpu.needle import build_probe_table
+    from sliceslice_tpu.ops import scan_kernel
+
+    hay = bytes(rng.integers(97, 103, (40_000,), dtype=np.uint8))
+    dh = preprocess(hay, kh=16, force_cols=True)
+    needles = [hay[11:19], hay[39_990:39_998], b"\xffnomatch"]
+    values, masks, lengths = build_probe_table(needles, t_max=2)
+    ends = np.maximum(dh.length - lengths + 1, 0).astype(np.int32)
+
+    via_cols = np.asarray(scan_kernel.batched_find_cols(
+        dh.cols, values, masks, ends, s=dh.s))
+    via_pw = np.asarray(scan_kernel.batched_find_cols(
+        None, values, masks, ends, s=dh.s, pw=dh.windows()))
+    assert (via_cols == via_pw).all()
+    exp = oracle_all(hay, needles)
+    got = np.where(via_cols >= scan_kernel.SENTINEL, -1, via_cols)
+    assert (got == exp).all()
+
+    cnt_cols = np.asarray(scan_kernel.batched_count_cols(
+        dh.cols, values, masks, ends, s=dh.s))
+    cnt_pw = np.asarray(scan_kernel.batched_count_cols(
+        None, values, masks, ends, s=dh.s, pw=dh.windows()))
+    assert (cnt_cols == cnt_pw).all()
+    assert cnt_cols[2] == 0 and cnt_cols[0] >= 1
