@@ -681,10 +681,13 @@ def _raw_count_call(
     last_full: bool = False,
     n_real: int | None = None,
 ):
-    """Occurrence-count kernel: same probe machinery as `_raw_batched_call`
-    but accumulating per-lane counts of OVERLAPPING matches instead of a
-    running min — and no early exit (a count must scan everything).  The
-    valid-position bound (``pos < end``, the reference's
+    """Occurrence-count kernel: same probe machinery and blocks-only grid
+    as `_raw_batched_call` (segments walked in-kernel with double-buffered
+    DMA) but accumulating per-lane counts of OVERLAPPING matches instead of
+    a running min — and no early exit (a count must scan everything, so
+    the segment walk is a plain ``fori_loop``; the old (blocks, segments)
+    grid paid ~3-4 us of per-step machinery, ~1.8 ms across a 36x14 grid).
+    The valid-position bound (``pos < end``, the reference's
     ``end = len - k + 1`` rule, src/lib.rs:258) is applied in-kernel per
     needle, since spurious tail "matches" would otherwise inflate counts.
 
@@ -708,127 +711,182 @@ def _raw_count_call(
         raise ValueError("probe widths beyond PROBE_UNROLL must be even")
 
     def kernel(
-        val_ref, msk_ref, end_ref, base_ref, row0_ref, pw_ref, out_ref,
-        p4_scr,
+        val_ref, msk_ref, end_ref, base_ref, row0_ref, pw_hbm, out_ref,
+        pbuf, p4buf, sem,
     ):
-        gi = pl.program_id(1)
         nbi = pl.program_id(0)
-        # The +4-row-shifted copy of the precomputed windows (odd probe
-        # slots read it at 8-row-aligned offsets); the base windows are the
-        # input block itself.
-        p4_scr[:] = pw_ref[0, 4 : 4 + (h - 7), :]
-        seg_base = base_ref[0] + gi * seg
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 0)
-        lane_mul = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) * s
         start = row0_ref[0] + nbi * nblk
         cnt = jnp.clip(n_real - start, 0, nblk)
+        out_ref[:] = jnp.zeros((nblk, LANES), jnp.int32)
 
-        def _count_one(n):
-            if unrolled:
-                vals = [val_ref[n, ti] for ti in range(t)]
-                if not last_full:
-                    last_msk = msk_ref[n, t - 1]
-                if t >= 2 and not pen_full:
-                    pen_msk = msk_ref[n, t - 2]
-            end_n = end_ref[n, 0]
-            # Per-lane valid-row threshold: pos = lane*s + row + seg_base
-            # < end  <=>  row < thr[lane]; a (1, LANES) plane instead of a
-            # full per-position offset plane.
-            thr = end_n - seg_base - lane_mul
-
-            def chunk_body(ci, lane_counts):
-                row0 = pl.multiple_of(ci * cs, cs)
-
-                def windows(ti):
-                    off = pl.multiple_of(row0 + 4 * (ti - ti % 2), 8)
-                    if ti % 2 == 0:
-                        return pw_ref[0, pl.ds(off, cs), :]
-                    return p4_scr[pl.ds(off, cs), :]
-
-                if unrolled:
-                    # Pre-masked table values: (w & m) == v, see find kernel.
-                    if t == 1 and last_full:
-                        acc = windows(0) == vals[0]
-                    elif t == 1:
-                        acc = (windows(0) & last_msk) == vals[0]
-                    else:
-                        acc = None
-                        if last_full:
-                            n_full, masked = t, ()
-                        elif pen_full:
-                            n_full, masked = t - 1, ((t - 1, last_msk),)
-                        else:
-                            n_full = t - 2
-                            masked = ((t - 2, pen_msk), (t - 1, last_msk))
-                        for ti in range(n_full):
-                            eq = windows(ti) == vals[ti]
-                            acc = eq if acc is None else jnp.logical_and(acc, eq)
-                        for ti, m in masked:
-                            eq = (windows(ti) & m) == vals[ti]
-                            acc = eq if acc is None else jnp.logical_and(acc, eq)
-                else:
-                    def probe_pair(j, acc_c):
-                        off = pl.multiple_of(row0 + 8 * j, 8)
-                        eq0 = (
-                            pw_ref[0, pl.ds(off, cs), :] & msk_ref[n, 2 * j]
-                        ) == val_ref[n, 2 * j]
-                        eq4 = (
-                            p4_scr[pl.ds(off, cs), :] & msk_ref[n, 2 * j + 1]
-                        ) == val_ref[n, 2 * j + 1]
-                        both = jnp.logical_and(eq0, eq4)
-                        return acc_c & both.astype(jnp.uint32)
-
-                    acc_u = jax.lax.fori_loop(
-                        0, t // 2, probe_pair,
-                        jnp.ones((cs, LANES), jnp.uint32),
-                    )
-                    acc = acc_u != 0
-                valid = jnp.logical_and(acc, row_iota < (thr - row0))
-                return lane_counts + jnp.sum(
-                    valid.astype(jnp.int32), axis=0, keepdims=True
-                )
-
-            init = jnp.zeros((1, LANES), dtype=jnp.int32)
-            if n_chunks <= 4:
-                counts = init
-                for ci in range(n_chunks):
-                    counts = chunk_body(ci, counts)
-            else:
-                counts = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
-            prev = jnp.where(
-                gi == 0, jnp.int32(0), out_ref[n, :].reshape(1, LANES)
+        def seg_dma(gi, slot):
+            return (
+                pltpu.make_async_copy(
+                    pw_hbm.at[gi, pl.ds(0, h - 3)], pbuf.at[slot],
+                    sem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    pw_hbm.at[gi, pl.ds(4, h - 7)], p4buf.at[slot],
+                    sem.at[slot, 1],
+                ),
             )
-            out_ref[n, :] = (prev + counts).reshape(LANES)
 
-        def needle_body(n, c):
-            _count_one(n)
-            return c
+        for c in seg_dma(0, 0):
+            c.start()
 
-        jax.lax.fori_loop(0, cnt, needle_body, 0)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 0)
+        lane_mul = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) * s
+
+        def _scan_segment(gi, carry):
+            slot = jax.lax.rem(gi, 2)
+
+            @pl.when(gi + 1 < g)
+            def _():
+                for c in seg_dma(gi + 1, jax.lax.rem(gi + 1, 2)):
+                    c.start()
+
+            for c in seg_dma(gi, slot):
+                c.wait()
+            seg_base = base_ref[0] + gi * seg
+
+            # Single-chunk segments: window slices are identical for every
+            # needle — hoist them out of the needle loop (see find kernel).
+            hoisted = None
+            if unrolled and n_chunks == 1 and t <= 4:
+
+                def _win0(ti):
+                    src = pbuf if ti % 2 == 0 else p4buf
+                    off = pl.multiple_of(4 * (ti - ti % 2), 8)
+                    return src[slot, pl.ds(off, cs), :]
+
+                hoisted = tuple(_win0(ti) for ti in range(t))
+
+            def _count_one(n):
+                if unrolled:
+                    vals = [val_ref[n, ti] for ti in range(t)]
+                    if not last_full:
+                        last_msk = msk_ref[n, t - 1]
+                    if t >= 2 and not pen_full:
+                        pen_msk = msk_ref[n, t - 2]
+                end_n = end_ref[n, 0]
+                # Per-lane valid-row threshold: pos = lane*s + row +
+                # seg_base < end  <=>  row < thr[lane]; a (1, LANES) plane
+                # instead of a full per-position offset plane.
+                thr = end_n - seg_base - lane_mul
+
+                def chunk_body(ci, lane_counts):
+                    row0 = pl.multiple_of(ci * cs, cs)
+
+                    def windows(ti):
+                        if hoisted is not None:
+                            return hoisted[ti]
+                        src = pbuf if ti % 2 == 0 else p4buf
+                        off = pl.multiple_of(row0 + 4 * (ti - ti % 2), 8)
+                        return src[slot, pl.ds(off, cs), :]
+
+                    if unrolled:
+                        # Pre-masked table values: (w & m) == v, see find
+                        # kernel.
+                        if t == 1 and last_full:
+                            acc = windows(0) == vals[0]
+                        elif t == 1:
+                            acc = (windows(0) & last_msk) == vals[0]
+                        else:
+                            acc = None
+                            if last_full:
+                                n_full, masked = t, ()
+                            elif pen_full:
+                                n_full, masked = t - 1, ((t - 1, last_msk),)
+                            else:
+                                n_full = t - 2
+                                masked = (
+                                    (t - 2, pen_msk), (t - 1, last_msk)
+                                )
+                            for ti in range(n_full):
+                                eq = windows(ti) == vals[ti]
+                                acc = eq if acc is None else jnp.logical_and(acc, eq)
+                            for ti, m in masked:
+                                eq = (windows(ti) & m) == vals[ti]
+                                acc = eq if acc is None else jnp.logical_and(acc, eq)
+                    else:
+                        def probe_pair(j, acc_c):
+                            off = pl.multiple_of(row0 + 8 * j, 8)
+                            eq0 = (
+                                pbuf[slot, pl.ds(off, cs), :]
+                                & msk_ref[n, 2 * j]
+                            ) == val_ref[n, 2 * j]
+                            eq4 = (
+                                p4buf[slot, pl.ds(off, cs), :]
+                                & msk_ref[n, 2 * j + 1]
+                            ) == val_ref[n, 2 * j + 1]
+                            both = jnp.logical_and(eq0, eq4)
+                            return acc_c & both.astype(jnp.uint32)
+
+                        acc_u = jax.lax.fori_loop(
+                            0, t // 2, probe_pair,
+                            jnp.ones((cs, LANES), jnp.uint32),
+                        )
+                        acc = acc_u != 0
+                    valid = jnp.logical_and(acc, row_iota < (thr - row0))
+                    return lane_counts + jnp.sum(
+                        valid.astype(jnp.int32), axis=0, keepdims=True
+                    )
+
+                init = jnp.zeros((1, LANES), dtype=jnp.int32)
+                if n_chunks <= 4:
+                    counts = init
+                    for ci in range(n_chunks):
+                        counts = chunk_body(ci, counts)
+                else:
+                    counts = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+                out_ref[n, :] = (
+                    out_ref[n, :].reshape(1, LANES) + counts
+                ).reshape(LANES)
+
+            # Needle loop unrolled by four (scalar dispatch interleaves
+            # with VPU work, as in the find kernel).
+            def needle_quad(i, c):
+                _count_one(4 * i)
+                _count_one(4 * i + 1)
+                _count_one(4 * i + 2)
+                _count_one(4 * i + 3)
+                return c
+
+            jax.lax.fori_loop(0, cnt // 4, needle_quad, 0)
+
+            def needle_tail(i, c):
+                _count_one(i)
+                return c
+
+            jax.lax.fori_loop((cnt // 4) * 4, cnt, needle_tail, 0)
+            return carry
+
+        # Full walk — no early exit (counts need every segment); the final
+        # body waits segment g-1 and starts nothing, so no drain is needed.
+        jax.lax.fori_loop(0, g, _scan_segment, 0)
 
     return pl.pallas_call(
         kernel,
-        grid=(n_pad // nblk, g),
+        grid=(n_pad // nblk,),
         in_specs=[
-            pl.BlockSpec((nblk, t), lambda nb, gi: (nb, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nblk, t), lambda nb, gi: (nb, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nblk, 1), lambda nb, gi: (nb, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda nb, gi: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda nb, gi: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, h - 3, LANES), lambda nb, gi: (gi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((nblk, t), lambda nb: (nb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nblk, t), lambda nb: (nb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nblk, 1), lambda nb: (nb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda nb: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda nb: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # packed windows stay in HBM
         ],
         out_specs=pl.BlockSpec(
-            (nblk, LANES), lambda nb, gi: (nb, 0), memory_space=pltpu.VMEM
+            (nblk, LANES), lambda nb: (nb, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, LANES), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((h - 7, LANES), jnp.uint32),
+            pltpu.VMEM((2, h - 3, LANES), jnp.uint32),
+            pltpu.VMEM((2, h - 7, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )
