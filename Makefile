@@ -1,13 +1,19 @@
 # Developer entry points (the check.yml analogue: test gate, slow conformance,
 # bench, native build).
 
-.PHONY: test test-slow bench bench-competitors native clean
+.PHONY: test test-tpu test-slow fuzz bench bench-competitors native clean
 
 test:
 	python -m pytest tests/ -x -q -m "not slow"
 
+test-tpu:
+	SLICESLICE_TEST_TPU=1 python -m pytest tests/ -q -m "not slow"
+
 test-slow:
-	python -m pytest tests/ -q -m slow
+	SLICESLICE_TEST_TPU=1 python -m pytest tests/ -q -m slow
+
+fuzz:
+	python scripts/fuzz_campaign.py
 
 bench:
 	python bench.py

@@ -1,0 +1,105 @@
+"""Extended randomized differential fuzz of the real device kernels.
+
+Complements tests/test_fuzz.py (hypothesis, CPU interpreter): this drives
+the REAL compiled kernels (or the interpreter when no TPU is attached)
+through the package boundary with heavily randomized content over a few
+fixed layout shapes (fixed shapes bound Mosaic compile count; content,
+needle placement, and API choice carry the randomness).
+
+Per trial mix: present-at-random-offset, single-byte-mutated (absent),
+last-valid-position, segment-boundary-straddling, random-binary (incl.
+NUL), and periodic needles, across widths 1..64 (every dispatch rung),
+verified against the bytes.find / regex oracles for find_all and
+count_all.
+
+Usage: python scripts/fuzz_campaign.py [rounds_per_layout=10] [seed]
+Exits non-zero on any mismatch.
+"""
+
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import sliceslice_tpu as st
+
+KS = [1, 2, 3, 4, 5, 6, 7, 8, 9, 12, 16, 17, 24, 33, 64]
+
+LAYOUTS = [
+    (4096, {}),                                   # flat XLA short path
+    (4096, {"force_cols": True, "seg_rows": 32}),  # tiny tiled layout
+    (50_000, {"kh": 64}),                          # single-segment tiled
+    (300_000, {"kh": 64}),                         # multi-segment tiled
+]
+
+
+def gen_needles(hay: bytes, n_per: int, rng) -> list:
+    L = len(hay)
+    needles = []
+    for k in KS:
+        if k > L:
+            continue
+        for _ in range(n_per):
+            mode = rng.integers(0, 6)
+            if mode == 0:
+                o = int(rng.integers(0, L - k + 1))
+                w = hay[o : o + k]
+            elif mode == 1:
+                o = int(rng.integers(0, L - k + 1))
+                b = bytearray(hay[o : o + k])
+                b[int(rng.integers(0, k))] ^= 0xFF
+                w = bytes(b)
+            elif mode == 2:
+                w = hay[L - k :]
+            elif mode == 3:
+                o = max(0, min(L - k, 65536 - k // 2))
+                w = hay[o : o + k]
+            elif mode == 4:
+                w = bytes(rng.integers(0, 256, k, dtype=np.uint8).tolist())
+            else:
+                w = (hay[3 : 3 + max(1, k // 2)] * 4)[:k]
+            needles.append(w)
+    return needles
+
+
+def main() -> int:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
+    rng = np.random.default_rng(seed)
+    fails = trials = 0
+    for L, kw in LAYOUTS:
+        for rnd in range(rounds):
+            hay = (
+                rng.integers(0, 256, L, dtype=np.uint8).tobytes()
+                if rnd % 2
+                else rng.integers(97, 103, L, dtype=np.uint8).tobytes()
+            )
+            dh = st.preprocess(hay, **kw)
+            needles = gen_needles(hay, 4, rng)
+            got = st.BatchedSearcher(needles).find_all(dh)
+            exp = np.array([hay.find(w) for w in needles])
+            bad = got != exp
+            trials += len(needles)
+            if bad.any():
+                fails += int(bad.sum())
+                i = int(np.argmax(bad))
+                print("FIND MISMATCH", L, kw, needles[i], got[i], exp[i])
+            sub = needles[::7]
+            cnt = st.BatchedSearcher(sub).count_all(dh)
+            cexp = [
+                len(re.findall(b"(?=" + re.escape(w) + b")", hay))
+                for w in sub
+            ]
+            if (cnt != np.array(cexp)).any():
+                fails += 1
+                print("COUNT MISMATCH", L, kw)
+    print(f"fuzz campaign: {trials} find trials over {len(LAYOUTS)} layouts, "
+          f"{fails} failures")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
