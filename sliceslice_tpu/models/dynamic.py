@@ -23,7 +23,7 @@ from ..ops.layout import DeviceHaystack
 from ..searcher import EmptyNeedleSearcher, HaystackLike, _hay_bytes
 from .memchr import MemchrSearcher
 from .naive import naive_find
-from .pallas_searcher import PallasSearcher, searcher_for_size
+from .pallas_searcher import searcher_for_size
 
 #: Host-bytes haystacks at or below this size skip the device entirely.
 HOST_HAY_BYTES = 4096

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-from ..needle import Needle
 from ..searcher import HaystackLike, SearcherBase, _hay_bytes
 
 

@@ -18,9 +18,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..needle import needed_halo, probe_program
+from ..needle import probe_program
 from ..ops import scan_kernel, xla_backend
-from ..ops.layout import DeviceHaystack, preprocess
+from ..ops.layout import DeviceHaystack
 from ..searcher import SearcherBase
 
 #: Needle lengths with a dedicated specialized class (reference N2..N16).

@@ -12,7 +12,7 @@ the CLI layer (SURVEY.md §5.3), nothing in-library.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -23,7 +23,7 @@ from typing import Optional, Union
 
 import numpy as np
 
-from .needle import Needle, NeedleLike, as_bytes, needed_halo
+from .needle import Needle, NeedleLike, needed_halo
 from .ops.layout import SHORT_HAY_BYTES, DeviceHaystack, preprocess
 from .ops.scan_math import SENTINEL
 

@@ -18,7 +18,7 @@ that — parallel/distributed.py).
 from __future__ import annotations
 
 import os
-from typing import Iterable, Iterator, Optional, Sequence, Union
+from typing import Iterable, Iterator, Sequence
 
 import jax.numpy as jnp
 import numpy as np
