@@ -112,3 +112,43 @@ void swar_pairwise(const uint8_t* words, const int64_t* offsets,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Match-bitmap decode (positions path, ops/xla_backend.match_bitmap_cols):
+// words is uint32[(g, q, lanes)] where bit b of words[gi, qi, li] marks a
+// match at flat offset gi*(s*lanes) + li*s + 32*qi + b.  Two-pass contract:
+// decode_bitmap_count sizes the output, decode_bitmap fills it (unsorted
+// memory-order positions; the caller sorts).  Replaces an unpackbits-based
+// numpy decode that materialized 8x the bitmap in bytes.
+int64_t decode_bitmap_count(const uint32_t* words, int64_t nwords) {
+  int64_t c = 0;
+  for (int64_t i = 0; i < nwords; ++i) {
+    c += __builtin_popcount(words[i]);
+  }
+  return c;
+}
+
+int64_t decode_bitmap(const uint32_t* words, int64_t g, int64_t q,
+                      int64_t lanes, int64_t s, int64_t* out, int64_t cap) {
+  int64_t m = 0;
+  const int64_t seg = s * lanes;
+  for (int64_t gi = 0; gi < g; ++gi) {
+    for (int64_t qi = 0; qi < q; ++qi) {
+      const uint32_t* row = words + (gi * q + qi) * lanes;
+      const int64_t base = gi * seg + 32 * qi;
+      for (int64_t li = 0; li < lanes; ++li) {
+        uint32_t w = row[li];
+        const int64_t pos0 = base + li * s;
+        while (w) {
+          if (m >= cap) return -1;  // caller-size mismatch
+          out[m++] = pos0 + __builtin_ctz(w);
+          w &= w - 1;
+        }
+      }
+    }
+  }
+  return m;
+}
+
+}  // extern "C"

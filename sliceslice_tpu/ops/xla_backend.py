@@ -193,7 +193,20 @@ def match_bitmap_batched(cols, values, masks, ends, s: int):
 
 def decode_match_bitmap(words: "np.ndarray", s: int) -> "np.ndarray":
     """Decode :func:`match_bitmap_cols` output to sorted match offsets
-    (int64[M], ascending)."""
+    (int64[M], ascending).  Prefers the native C++ decoder (popcount-sized
+    output, ctz walk — csrc/swarscan.cpp) and falls back to the numpy
+    unpackbits decode, which materializes 8x the bitmap in bytes."""
+    from ..utils import native
+
+    out = native.decode_bitmap(words, s)
+    if out is not None:
+        return out
+    return decode_match_bitmap_numpy(words, s)
+
+
+def decode_match_bitmap_numpy(words: "np.ndarray", s: int) -> "np.ndarray":
+    """Pure-numpy reference decode (kept as the no-toolchain fallback and
+    the differential oracle for the native decoder)."""
     import numpy as np
 
     words = np.ascontiguousarray(np.asarray(words, dtype=np.uint32))

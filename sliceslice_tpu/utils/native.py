@@ -73,6 +73,16 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
         np.ctypeslib.ndpointer(np.int8),
     ]
+    lib.decode_bitmap_count.restype = ctypes.c_int64
+    lib.decode_bitmap_count.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32), ctypes.c_int64,
+    ]
+    lib.decode_bitmap.restype = ctypes.c_int64
+    lib.decode_bitmap.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+    ]
     _lib = lib
     return _lib
 
@@ -115,3 +125,21 @@ def swar_pairwise(words: Sequence[bytes]) -> np.ndarray:
     out = np.empty((len(words), len(words)), dtype=np.int8)
     lib.swar_pairwise(flat, offsets, len(words), out)
     return out.astype(bool)
+
+
+def decode_bitmap(words: np.ndarray, s: int) -> Optional[np.ndarray]:
+    """Native match-bitmap decode: uint32[(g, q, lanes)] -> sorted int64
+    offsets, or None when the toolchain is unavailable (callers fall back
+    to the numpy unpackbits decode, which materializes 8x the bitmap)."""
+    lib = load()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(np.asarray(words, dtype=np.uint32))
+    g, q, lanes = w.shape
+    flat = w.reshape(-1)
+    m = int(lib.decode_bitmap_count(flat, flat.size))
+    out = np.empty(m, dtype=np.int64)
+    got = int(lib.decode_bitmap(flat, g, q, lanes, s, out, m))
+    assert got == m, (got, m)
+    out.sort()
+    return out

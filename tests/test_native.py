@@ -70,3 +70,25 @@ def test_swar_pairwise_matches_oracle(rng):
     for i, n in enumerate(words):
         for j, h in enumerate(words):
             assert got[i, j] == (h.find(n) >= 0), (n, h)
+
+
+def test_decode_bitmap_differential(rng):
+    """Native bitmap decoder == numpy unpackbits reference on random maps."""
+    import numpy as np
+
+    from sliceslice_tpu.ops.xla_backend import decode_match_bitmap_numpy
+    from sliceslice_tpu.utils import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    for (g, q, lanes, s) in [(3, 16, 128, 512), (1, 1, 128, 32)]:
+        w = (rng.random((g, q, lanes)) < 0.07).astype(np.uint32)
+        w *= rng.integers(1, 2**32, (g, q, lanes), dtype=np.uint32)
+        a = native.decode_bitmap(w, s)
+        b = decode_match_bitmap_numpy(w, s)
+        assert (a == b).all()
+    # empty map
+    z = np.zeros((2, 4, 128), np.uint32)
+    assert native.decode_bitmap(z, 128).size == 0
