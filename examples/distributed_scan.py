@@ -1,18 +1,23 @@
 """Example: sharded corpus scan over a device mesh.
 
-Single host with 8 virtual CPU devices (for a pod slice, drop the config
-lines and call parallel.distributed.initialize() first):
+Default: single host with 8 virtual CPU devices.  On a real pod slice run
+with SLICESLICE_EXAMPLE_TPU=1 (and call parallel.distributed.initialize()
+first for multi-host):
 
     python examples/distributed_scan.py
 """
 
+import os
 import sys
 
 sys.path.insert(0, ".")
 
 import jax
 
-if jax.default_backend() != "tpu" or len(jax.devices()) == 1:
+# Device-count config must be set BEFORE any backend-initializing jax call
+# (probing jax.default_backend() here would initialize it), so the real-TPU
+# path is an env opt-in rather than autodetection.
+if os.environ.get("SLICESLICE_EXAMPLE_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 
