@@ -65,6 +65,43 @@ def gen_needles(hay: bytes, n_per: int, rng) -> list:
     return needles
 
 
+def fuzz_streaming(rounds: int, rng) -> tuple:
+    """Randomized windows/chunks through StreamingScanner: needles planted
+    to straddle window boundaries, plus absent/binary ones; random chunk
+    sizes re-chunked into overlapping windows (the exactly-once logic)."""
+    from sliceslice_tpu.utils.streaming import StreamingScanner
+
+    fails = trials = 0
+    for _ in range(rounds):
+        L = int(rng.integers(30_000, 200_000))
+        hay = rng.integers(97, 103, L, dtype=np.uint8).tobytes()
+        window = int(rng.integers(8_192, 40_000))
+        needles = []
+        for k in (3, 5, 8, 13, 21):
+            # straddle the first window boundary and a random one
+            for b in (window, window * 2 + 7):
+                o = max(0, min(L - k, b - k // 2))
+                needles.append(hay[o : o + k])
+            o = int(rng.integers(0, L - k + 1))
+            needles.append(hay[o : o + k])
+            needles.append(bytes([0xFF]) + hay[o : o + k - 1])
+        needles.append(hay[L - 9 :])
+        ss = StreamingScanner(needles, window_bytes=window)
+        # random chunking of the byte stream
+        cuts = np.sort(rng.integers(1, L, int(rng.integers(3, 40))))
+        chunks = [hay[a:b] for a, b in
+                  zip([0, *cuts.tolist()], [*cuts.tolist(), L])]
+        got = ss.find_in_chunks(chunks, early_stop=bool(rng.integers(0, 2)))
+        exp = np.array([hay.find(w) for w in needles])
+        bad = got != exp
+        trials += len(needles)
+        if bad.any():
+            fails += int(bad.sum())
+            i = int(np.argmax(bad))
+            print("STREAM MISMATCH", L, window, needles[i], got[i], exp[i])
+    return trials, fails
+
+
 def main() -> int:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
@@ -96,8 +133,11 @@ def main() -> int:
             if (cnt != np.array(cexp)).any():
                 fails += 1
                 print("COUNT MISMATCH", L, kw)
-    print(f"fuzz campaign: {trials} find trials over {len(LAYOUTS)} layouts, "
-          f"{fails} failures")
+    st_trials, st_fails = fuzz_streaming(max(2, rounds // 2), rng)
+    trials += st_trials
+    fails += st_fails
+    print(f"fuzz campaign: {trials} trials ({st_trials} streaming) over "
+          f"{len(LAYOUTS)} layouts, {fails} failures")
     return 1 if fails else 0
 
 
