@@ -36,7 +36,7 @@ LAYOUTS = [
 ]
 
 
-def gen_needles(hay: bytes, n_per: int, rng) -> list:
+def gen_needles(hay: bytes, n_per: int, rng, seg_bytes: int) -> list:
     L = len(hay)
     needles = []
     for k in KS:
@@ -44,6 +44,8 @@ def gen_needles(hay: bytes, n_per: int, rng) -> list:
             continue
         for _ in range(n_per):
             mode = rng.integers(0, 6)
+            if mode == 3 and seg_bytes >= L:
+                mode = 0  # single-segment layout: no boundary to straddle
             if mode == 0:
                 o = int(rng.integers(0, L - k + 1))
                 w = hay[o : o + k]
@@ -55,7 +57,8 @@ def gen_needles(hay: bytes, n_per: int, rng) -> list:
             elif mode == 2:
                 w = hay[L - k :]
             elif mode == 3:
-                o = max(0, min(L - k, 65536 - k // 2))
+                # straddle the layout's actual first segment boundary
+                o = max(0, min(L - k, seg_bytes - k // 2))
                 w = hay[o : o + k]
             elif mode == 4:
                 w = bytes(rng.integers(0, 256, k, dtype=np.uint8).tolist())
@@ -115,7 +118,7 @@ def main() -> int:
                 else rng.integers(97, 103, L, dtype=np.uint8).tobytes()
             )
             dh = st.preprocess(hay, **kw)
-            needles = gen_needles(hay, 4, rng)
+            needles = gen_needles(hay, 4, rng, dh.seg_bytes)
             got = st.BatchedSearcher(needles).find_all(dh)
             exp = np.array([hay.find(w) for w in needles])
             bad = got != exp
@@ -126,12 +129,13 @@ def main() -> int:
                 print("FIND MISMATCH", L, kw, needles[i], got[i], exp[i])
             sub = needles[::7]
             cnt = st.BatchedSearcher(sub).count_all(dh)
-            cexp = [
+            cexp = np.array([
                 len(re.findall(b"(?=" + re.escape(w) + b")", hay))
                 for w in sub
-            ]
-            if (cnt != np.array(cexp)).any():
-                fails += 1
+            ])
+            trials += len(sub)
+            if (cnt != cexp).any():
+                fails += int((cnt != cexp).sum())
                 print("COUNT MISMATCH", L, kw)
     st_trials, st_fails = fuzz_streaming(max(2, rounds // 2), rng)
     trials += st_trials

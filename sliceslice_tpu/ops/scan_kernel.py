@@ -60,6 +60,136 @@ PROBE_UNROLL = 8
 NO_ROW = 1 << 30
 
 
+# -- machinery shared by the find and count kernels ---------------------------
+# (same DMA pattern, window addressing, and probe chain; the kernels differ
+# only in their per-chunk reduction and early-exit policy).
+
+
+def _chunk_plan(s: int, t: int):
+    """(cs, n_chunks, unrolled): largest chunk height dividing s, and the
+    probe-path selector.  Probe widths beyond PROBE_UNROLL loop pairs and
+    must be even (callers pad a no-op slot)."""
+    cs = s
+    for cand in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if cand <= CHUNK_ROWS and s % cand == 0:
+            cs = cand
+            break
+    cs = min(cs, s)
+    unrolled = t <= PROBE_UNROLL
+    if not unrolled and t % 2:
+        raise ValueError("probe widths beyond PROBE_UNROLL must be even")
+    return cs, s // cs, unrolled
+
+
+def _seg_dma_factory(pw_hbm, pbuf, p4buf, sem, h):
+    """Two async copies per segment from the precomputed HBM window array:
+    the base windows and the +4-row-shifted view (probe slot ti reads one of
+    the two at an 8-row-aligned offset) — no in-kernel packing, no unaligned
+    dynamic slices."""
+
+    def seg_dma(gi, slot):
+        return (
+            pltpu.make_async_copy(
+                pw_hbm.at[gi, pl.ds(0, h - 3)], pbuf.at[slot],
+                sem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                pw_hbm.at[gi, pl.ds(4, h - 7)], p4buf.at[slot],
+                sem.at[slot, 1],
+            ),
+        )
+
+    return seg_dma
+
+
+def _hoist_windows(pbuf, p4buf, slot, cs, t, unrolled, n_chunks):
+    """Single-chunk segments: the window slices are identical for every
+    needle in the block — hoist them out of the needle loop so they are
+    loaded once per segment (loop-invariant values) instead of once per
+    needle.  Bounded to t <= 4 (<= 1 MiB of live windows) to keep Mosaic
+    register/stack pressure sane."""
+    if not (unrolled and n_chunks == 1 and t <= 4):
+        return None
+
+    def _win0(ti):
+        src = pbuf if ti % 2 == 0 else p4buf
+        off = pl.multiple_of(4 * (ti - ti % 2), 8)
+        return src[slot, pl.ds(off, cs), :]
+
+    return tuple(_win0(ti) for ti in range(t))
+
+
+def _windows_factory(pbuf, p4buf, slot, row0, cs, hoisted):
+    """Slot ti's windows from the aligned buffer pair: even ti from P, odd
+    ti from the +4-shifted copy — both at 8-row-aligned dynamic offsets."""
+
+    def windows(ti):
+        if hoisted is not None:
+            return hoisted[ti]
+        src = pbuf if ti % 2 == 0 else p4buf
+        off = pl.multiple_of(row0 + 4 * (ti - ti % 2), 8)
+        return src[slot, pl.ds(off, cs), :]
+
+    return windows
+
+
+def _probe_row(val_ref, msk_ref, n, t, pen_full, last_full):
+    """Per-needle scalar table reads for the unrolled path: (vals, masked)
+    where masked lists the (slot, mask) pairs that compare with a mask.
+    Only the last two slots can carry masks (a needle of width t-1 merged
+    into this group has its narrowed slot at t-2, its no-op slot at t-1);
+    earlier slots are full windows by construction and compare without
+    masks.  With pen_full, slot t-2 is full too (exact-width group); with
+    last_full, every slot is."""
+    vals = [val_ref[n, ti] for ti in range(t)]
+    if last_full:
+        masked = ()
+    elif t == 1 or pen_full:
+        masked = ((t - 1, msk_ref[n, t - 1]),)
+    else:
+        masked = ((t - 2, msk_ref[n, t - 2]), (t - 1, msk_ref[n, t - 1]))
+    return vals, masked
+
+
+def _unrolled_acc(windows, vals, masked, t):
+    """Straight-line unrolled probes — no per-slot branches (scf.cond with
+    vector results forces register spills); mixed-length batches are split
+    into width groups by the callers.  Masked slots compare as the 2-op
+    (w & m) == v — table values are pre-masked (needle.build_probe_table),
+    so the 3-op xor-form is never needed.  Slot order: full slots ascending,
+    then the masked tail slots (they are always the last ones)."""
+    masked_d = dict(masked)
+    acc = None
+    for ti in range(t):
+        m = masked_d.get(ti)
+        w = windows(ti)
+        eq = ((w & m) == vals[ti]) if m is not None else (w == vals[ti])
+        acc = eq if acc is None else jnp.logical_and(acc, eq)
+    return acc
+
+
+def _pair_loop_acc(pbuf, p4buf, slot, row0, cs, val_ref, msk_ref, n, t):
+    """Long needles: loop probe pairs; offsets stay 8-aligned.  The
+    accumulator is carried as uint32 — Mosaic mislays large i1 vectors
+    through scf loops."""
+
+    def probe_pair(j, acc_c):
+        off = pl.multiple_of(row0 + 8 * j, 8)
+        eq0 = (
+            pbuf[slot, pl.ds(off, cs), :] & msk_ref[n, 2 * j]
+        ) == val_ref[n, 2 * j]
+        eq4 = (
+            p4buf[slot, pl.ds(off, cs), :] & msk_ref[n, 2 * j + 1]
+        ) == val_ref[n, 2 * j + 1]
+        both = jnp.logical_and(eq0, eq4)
+        return acc_c & both.astype(jnp.uint32)
+
+    acc_u = jax.lax.fori_loop(
+        0, t // 2, probe_pair, jnp.ones((cs, LANES), jnp.uint32)
+    )
+    return acc_u != 0
+
+
 @functools.lru_cache(maxsize=256)
 def _raw_batched_call(
     g: int,
@@ -117,18 +247,7 @@ def _raw_batched_call(
     if n_real is None:
         n_real = n_pad
     seg = s * LANES
-    # Largest chunk height that divides s (every row must be scanned).
-    cs = s
-    for cand in (1024, 512, 256, 128, 64, 32, 16, 8):
-        if cand <= CHUNK_ROWS and s % cand == 0:
-            cs = cand
-            break
-    cs = min(cs, s)
-    n_chunks = s // cs
-    assert n_chunks * cs == s
-    unrolled = t <= PROBE_UNROLL
-    if not unrolled and t % 2:
-        raise ValueError("probe widths beyond PROBE_UNROLL must be even")
+    cs, n_chunks, unrolled = _chunk_plan(s, t)
 
     def kernel(
         val_ref, msk_ref, base_ref, row0_ref, pw_hbm, out_ref,
@@ -153,21 +272,7 @@ def _raw_batched_call(
         out_ref[:] = jnp.full((nblk, LANES), SENTINEL, jnp.int32)
         flags_scr[:, :] = jnp.zeros((nblk, 1), jnp.int32)
 
-        def seg_dma(gi, slot):
-            # Two copies per segment from the same precomputed HBM window
-            # array: the base windows and the +4-row-shifted view (probe
-            # slot ti reads one of the two at an 8-row-aligned offset) —
-            # no in-kernel packing, no unaligned dynamic slices.
-            return (
-                pltpu.make_async_copy(
-                    pw_hbm.at[gi, pl.ds(0, h - 3)], pbuf.at[slot],
-                    sem.at[slot, 0],
-                ),
-                pltpu.make_async_copy(
-                    pw_hbm.at[gi, pl.ds(4, h - 7)], p4buf.at[slot],
-                    sem.at[slot, 1],
-                ),
-            )
+        seg_dma = _seg_dma_factory(pw_hbm, pbuf, p4buf, sem, h)
 
         # Kick off segment 0 into slot 0 (waited either by the first loop
         # iteration or, for an empty block, by the epilogue drain).
@@ -195,102 +300,28 @@ def _raw_batched_call(
             for c in seg_dma(gi, slot):
                 c.wait()
             seg_base = base_ref[0] + gi * seg
-
-            # Single-chunk segments: the window slices are identical for
-            # every needle in the block — hoist them out of the needle loop
-            # so they are loaded once per segment (loop-invariant values)
-            # instead of once per needle.  Bounded to t <= 4 (<= 1 MiB of
-            # live windows) to keep Mosaic register/stack pressure sane.
-            hoisted = None
-            if unrolled and n_chunks == 1 and t <= 4:
-
-                def _win0(ti):
-                    src = pbuf if ti % 2 == 0 else p4buf
-                    off = pl.multiple_of(4 * (ti - ti % 2), 8)
-                    return src[slot, pl.ds(off, cs), :]
-
-                hoisted = tuple(_win0(ti) for ti in range(t))
+            hoisted = _hoist_windows(
+                pbuf, p4buf, slot, cs, t, unrolled, n_chunks
+            )
 
             def _scan_one(n):
                 if unrolled:
-                    vals = [val_ref[n, ti] for ti in range(t)]
-                    # Only the last two slots can carry masks (a needle of
-                    # width t-1 merged into this group has its narrowed slot
-                    # at t-2, its no-op slot at t-1); earlier slots are full
-                    # windows by construction and compare without masks.
-                    # With pen_full, slot t-2 is full too (exact-width
-                    # group); with last_full, every slot is.
-                    if not last_full:
-                        last_msk = msk_ref[n, t - 1]
-                    if t >= 2 and not pen_full:
-                        pen_msk = msk_ref[n, t - 2]
+                    vals, masked = _probe_row(
+                        val_ref, msk_ref, n, t, pen_full, last_full
+                    )
 
                 def chunk_body(ci, mins):
                     row0 = pl.multiple_of(ci * cs, cs)
-
-                    def windows(ti):
-                        # Slot ti's windows from the aligned buffer pair:
-                        # even ti from P, odd ti from the +4-shifted copy —
-                        # both at 8-row-aligned dynamic offsets.
-                        if hoisted is not None:
-                            return hoisted[ti]
-                        src = pbuf if ti % 2 == 0 else p4buf
-                        off = pl.multiple_of(row0 + 4 * (ti - ti % 2), 8)
-                        return src[slot, pl.ds(off, cs), :]
-
                     if unrolled:
-                        # Straight-line unrolled probes — no per-slot
-                        # branches (scf.cond with vector results forces
-                        # register spills); mixed-length batches are instead
-                        # split into exact-width groups by the callers.
-                        # Slots below t-2 hold full 4-byte windows by
-                        # construction (needle.py) and compare without
-                        # masks; the last two slots use their masks.
-                        # Masked slots compare as (w & m) == v — two vector
-                        # ops, not three: table values are pre-masked
-                        # (needle.build_probe_table ANDs values with masks),
-                        # so the xor-form is never needed.
-                        if t == 1 and last_full:
-                            acc = windows(0) == vals[0]
-                        elif t == 1:
-                            acc = (windows(0) & last_msk) == vals[0]
-                        else:
-                            acc = None
-                            if last_full:
-                                n_full, masked = t, ()
-                            elif pen_full:
-                                n_full, masked = t - 1, ((t - 1, last_msk),)
-                            else:
-                                n_full = t - 2
-                                masked = ((t - 2, pen_msk), (t - 1, last_msk))
-                            for ti in range(n_full):
-                                eq = windows(ti) == vals[ti]
-                                acc = eq if acc is None else jnp.logical_and(acc, eq)
-                            for ti, m in masked:
-                                eq = (windows(ti) & m) == vals[ti]
-                                acc = eq if acc is None else jnp.logical_and(acc, eq)
-                    else:
-                        # Long needles: loop probe pairs; offsets stay
-                        # 8-aligned.  The accumulator is carried as uint32 —
-                        # Mosaic mislays large i1 vectors through scf loops.
-                        def probe_pair(j, acc_c):
-                            off = pl.multiple_of(row0 + 8 * j, 8)
-                            eq0 = (
-                                pbuf[slot, pl.ds(off, cs), :]
-                                & msk_ref[n, 2 * j]
-                            ) == val_ref[n, 2 * j]
-                            eq4 = (
-                                p4buf[slot, pl.ds(off, cs), :]
-                                & msk_ref[n, 2 * j + 1]
-                            ) == val_ref[n, 2 * j + 1]
-                            both = jnp.logical_and(eq0, eq4)
-                            return acc_c & both.astype(jnp.uint32)
-
-                        acc_u = jax.lax.fori_loop(
-                            0, t // 2, probe_pair,
-                            jnp.ones((cs, LANES), jnp.uint32),
+                        windows = _windows_factory(
+                            pbuf, p4buf, slot, row0, cs, hoisted
                         )
-                        acc = acc_u != 0
+                        acc = _unrolled_acc(windows, vals, masked, t)
+                    else:
+                        acc = _pair_loop_acc(
+                            pbuf, p4buf, slot, row0, cs,
+                            val_ref, msk_ref, n, t,
+                        )
                     # Per-lane min ROW of a match (NO_ROW when none): the
                     # lane*s + seg_base components of the global offset are
                     # lane/segment constants, added on the (1, LANES) result
@@ -699,16 +730,7 @@ def _raw_count_call(
     if n_real is None:
         n_real = n_pad
     seg = s * LANES
-    cs = s
-    for cand in (1024, 512, 256, 128, 64, 32, 16, 8):
-        if cand <= CHUNK_ROWS and s % cand == 0:
-            cs = cand
-            break
-    cs = min(cs, s)
-    n_chunks = s // cs
-    unrolled = t <= PROBE_UNROLL
-    if not unrolled and t % 2:
-        raise ValueError("probe widths beyond PROBE_UNROLL must be even")
+    cs, n_chunks, unrolled = _chunk_plan(s, t)
 
     def kernel(
         val_ref, msk_ref, end_ref, base_ref, row0_ref, pw_hbm, out_ref,
@@ -719,21 +741,7 @@ def _raw_count_call(
         cnt = jnp.clip(n_real - start, 0, nblk)
         out_ref[:] = jnp.zeros((nblk, LANES), jnp.int32)
 
-        def seg_dma(gi, slot):
-            return (
-                pltpu.make_async_copy(
-                    pw_hbm.at[gi, pl.ds(0, h - 3)], pbuf.at[slot],
-                    sem.at[slot, 0],
-                ),
-                pltpu.make_async_copy(
-                    pw_hbm.at[gi, pl.ds(4, h - 7)], p4buf.at[slot],
-                    sem.at[slot, 1],
-                ),
-            )
-
-        for c in seg_dma(0, 0):
-            c.start()
-
+        seg_dma = _seg_dma_factory(pw_hbm, pbuf, p4buf, sem, h)
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 0)
         lane_mul = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) * s
 
@@ -748,26 +756,15 @@ def _raw_count_call(
             for c in seg_dma(gi, slot):
                 c.wait()
             seg_base = base_ref[0] + gi * seg
-
-            # Single-chunk segments: window slices are identical for every
-            # needle — hoist them out of the needle loop (see find kernel).
-            hoisted = None
-            if unrolled and n_chunks == 1 and t <= 4:
-
-                def _win0(ti):
-                    src = pbuf if ti % 2 == 0 else p4buf
-                    off = pl.multiple_of(4 * (ti - ti % 2), 8)
-                    return src[slot, pl.ds(off, cs), :]
-
-                hoisted = tuple(_win0(ti) for ti in range(t))
+            hoisted = _hoist_windows(
+                pbuf, p4buf, slot, cs, t, unrolled, n_chunks
+            )
 
             def _count_one(n):
                 if unrolled:
-                    vals = [val_ref[n, ti] for ti in range(t)]
-                    if not last_full:
-                        last_msk = msk_ref[n, t - 1]
-                    if t >= 2 and not pen_full:
-                        pen_msk = msk_ref[n, t - 2]
+                    vals, masked = _probe_row(
+                        val_ref, msk_ref, n, t, pen_full, last_full
+                    )
                 end_n = end_ref[n, 0]
                 # Per-lane valid-row threshold: pos = lane*s + row +
                 # seg_base < end  <=>  row < thr[lane]; a (1, LANES) plane
@@ -776,57 +773,16 @@ def _raw_count_call(
 
                 def chunk_body(ci, lane_counts):
                     row0 = pl.multiple_of(ci * cs, cs)
-
-                    def windows(ti):
-                        if hoisted is not None:
-                            return hoisted[ti]
-                        src = pbuf if ti % 2 == 0 else p4buf
-                        off = pl.multiple_of(row0 + 4 * (ti - ti % 2), 8)
-                        return src[slot, pl.ds(off, cs), :]
-
                     if unrolled:
-                        # Pre-masked table values: (w & m) == v, see find
-                        # kernel.
-                        if t == 1 and last_full:
-                            acc = windows(0) == vals[0]
-                        elif t == 1:
-                            acc = (windows(0) & last_msk) == vals[0]
-                        else:
-                            acc = None
-                            if last_full:
-                                n_full, masked = t, ()
-                            elif pen_full:
-                                n_full, masked = t - 1, ((t - 1, last_msk),)
-                            else:
-                                n_full = t - 2
-                                masked = (
-                                    (t - 2, pen_msk), (t - 1, last_msk)
-                                )
-                            for ti in range(n_full):
-                                eq = windows(ti) == vals[ti]
-                                acc = eq if acc is None else jnp.logical_and(acc, eq)
-                            for ti, m in masked:
-                                eq = (windows(ti) & m) == vals[ti]
-                                acc = eq if acc is None else jnp.logical_and(acc, eq)
-                    else:
-                        def probe_pair(j, acc_c):
-                            off = pl.multiple_of(row0 + 8 * j, 8)
-                            eq0 = (
-                                pbuf[slot, pl.ds(off, cs), :]
-                                & msk_ref[n, 2 * j]
-                            ) == val_ref[n, 2 * j]
-                            eq4 = (
-                                p4buf[slot, pl.ds(off, cs), :]
-                                & msk_ref[n, 2 * j + 1]
-                            ) == val_ref[n, 2 * j + 1]
-                            both = jnp.logical_and(eq0, eq4)
-                            return acc_c & both.astype(jnp.uint32)
-
-                        acc_u = jax.lax.fori_loop(
-                            0, t // 2, probe_pair,
-                            jnp.ones((cs, LANES), jnp.uint32),
+                        windows = _windows_factory(
+                            pbuf, p4buf, slot, row0, cs, hoisted
                         )
-                        acc = acc_u != 0
+                        acc = _unrolled_acc(windows, vals, masked, t)
+                    else:
+                        acc = _pair_loop_acc(
+                            pbuf, p4buf, slot, row0, cs,
+                            val_ref, msk_ref, n, t,
+                        )
                     valid = jnp.logical_and(acc, row_iota < (thr - row0))
                     return lane_counts + jnp.sum(
                         valid.astype(jnp.int32), axis=0, keepdims=True
@@ -863,7 +819,13 @@ def _raw_count_call(
 
         # Full walk — no early exit (counts need every segment); the final
         # body waits segment g-1 and starts nothing, so no drain is needed.
-        jax.lax.fori_loop(0, g, _scan_segment, 0)
+        # Fully-padded blocks (cnt == 0, e.g. trailing needle shards) skip
+        # the walk AND its DMA entirely (nothing was started before this).
+        @pl.when(cnt > 0)
+        def _():
+            for c in seg_dma(0, 0):
+                c.start()
+            jax.lax.fori_loop(0, g, _scan_segment, 0)
 
     return pl.pallas_call(
         kernel,

@@ -52,7 +52,27 @@ def load() -> Optional[ctypes.CDLL]:
     so = _build()
     if so is None:
         return None
-    lib = ctypes.CDLL(so)
+    try:
+        _lib = _bind(ctypes.CDLL(so))
+    except AttributeError:
+        # A stale cached .so from an older source (preserved mtimes) can
+        # lack newer symbols: force one rebuild, then degrade to None (the
+        # documented no-toolchain fallback) rather than raising.
+        try:
+            os.remove(_SO)
+        except OSError:
+            return None
+        so = _build()
+        if so is None:
+            return None
+        try:
+            _lib = _bind(ctypes.CDLL(so))
+        except AttributeError:
+            return None
+    return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.swar_find_pos.restype = ctypes.c_int64
     lib.swar_find_pos.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
@@ -83,8 +103,7 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64,
         np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
     ]
-    _lib = lib
-    return _lib
+    return lib
 
 
 def available() -> bool:
@@ -140,6 +159,10 @@ def decode_bitmap(words: np.ndarray, s: int) -> Optional[np.ndarray]:
     m = int(lib.decode_bitmap_count(flat, flat.size))
     out = np.empty(m, dtype=np.int64)
     got = int(lib.decode_bitmap(flat, g, q, lanes, s, out, m))
-    assert got == m, (got, m)
+    if got != m:
+        # Count/fill disagreement (e.g. the buffer mutated between the two
+        # passes): never return uninitialized memory — let the caller fall
+        # back to the numpy decode.
+        return None
     out.sort()
     return out
