@@ -5,10 +5,11 @@ These kernels play the role of the reference's SIMD intrinsic layers
 generic kernel they feed (``vector_search_in_chunk``/``vector_search_in``,
 src/lib.rs:199-287), re-designed for the TPU VPU:
 
-* haystack segments arrive as column-major (S+KH, 128) uint8 tiles (see
-  ops/layout.py) so flat-stream shifts are sublane shifts;
-* 4-byte little-endian packed windows are built once per segment in VMEM
-  (the haystack is read from HBM once per needle-block pass);
+* the haystack is laid out column-major over the 128 lanes (see
+  ops/layout.py) so flat-stream shifts are sublane shifts, and its 4-byte
+  little-endian packed windows are built ONCE at preprocess time — the
+  kernels DMA ready-to-probe uint32 window segments from HBM (base plus a
+  +4-row-shifted view), double-buffered against compute;
 * needle slot ``t`` compares the packed window at *static* offset ``4*t``
   (see needle.probe_program) — ``ceil(k/4)`` masked uint32 compares prove an
   exact match with zero dynamic addressing, no movemask/trailing_zeros
@@ -17,14 +18,14 @@ src/lib.rs:199-287), re-designed for the TPU VPU:
   reference, src/x86.rs:252-255);
 * invalid positions are masked by iota compare against ``end = len - k + 1``
   (replacing the reference's overlapping tail trick, src/lib.rs:276-283);
-* grid = (needle-blocks, segments) with segments innermost so per-needle
-  first-offset accumulation stays resident in the output block (revisited
-  blocks are only valid with the accumulation dim innermost), while segment
-  DMA double-buffers against compute;
-* inside a grid step the needle loop iterates a left-compacted SMEM list of
-  still-unfound needles (exact early-exit economics), with probe windows
-  read from an 8-row-aligned scratch pair (P and P+4) — no unaligned
-  dynamic slices, no per-chunk slab materialization.
+* grid = needle blocks ONLY; each block walks segments with an in-kernel
+  loop (while_loop + total early exit for find, fori_loop for count), so
+  per-needle accumulation stays resident in the output block and a retired
+  block issues no further DMA or steps at all;
+* inside the segment loop the needle loop iterates a left-compacted SMEM
+  list of still-unfound needles (exact early-exit economics), with probe
+  windows read from the 8-row-aligned buffer pair (P and P+4) — no
+  unaligned dynamic slices, no per-chunk slab materialization.
 
 Outputs are per-needle first-match offsets (int32, SENTINEL when absent) —
 a strict superset of the reference's bool ``search_in``.
