@@ -105,6 +105,37 @@ def fuzz_streaming(rounds: int, rng) -> tuple:
     return trials, fails
 
 
+def fuzz_pairwise(rounds: int, rng) -> tuple:
+    """Random mixed-length word lists (binary bytes, shared prefixes,
+    duplicates, 1-char words) through PairwiseSearcher.first_matrix vs the
+    bytes.find oracle."""
+    from sliceslice_tpu.ops.pairwise import PairwiseSearcher
+
+    fails = trials = 0
+    for _ in range(rounds):
+        n = int(rng.integers(20, 120))
+        words = []
+        for _ in range(n):
+            k = int(rng.integers(1, 28))
+            if rng.integers(0, 4) == 0 and words:
+                base = words[int(rng.integers(0, len(words)))]
+                w = (base + bytes(rng.integers(0, 256, k).tolist()))[:k]
+            else:
+                lo, hi = (97, 105) if rng.integers(0, 2) else (0, 256)
+                w = bytes(rng.integers(lo, hi, k, dtype=np.uint8).tolist())
+            words.append(w)
+        words.sort(key=len)
+        got = PairwiseSearcher(words).first_matrix(words)
+        exp = np.array([[h.find(nd) for h in words] for nd in words])
+        bad = got != exp
+        trials += got.size
+        if bad.any():
+            fails += int(bad.sum())
+            i, j = np.argwhere(bad)[0]
+            print("PAIR MISMATCH", words[i], words[j], got[i, j], exp[i, j])
+    return trials, fails
+
+
 def main() -> int:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
@@ -138,10 +169,12 @@ def main() -> int:
                 fails += int((cnt != cexp).sum())
                 print("COUNT MISMATCH", L, kw)
     st_trials, st_fails = fuzz_streaming(max(2, rounds // 2), rng)
-    trials += st_trials
-    fails += st_fails
-    print(f"fuzz campaign: {trials} trials ({st_trials} streaming) over "
-          f"{len(LAYOUTS)} layouts, {fails} failures")
+    pw_trials, pw_fails = fuzz_pairwise(max(2, rounds // 2), rng)
+    trials += st_trials + pw_trials
+    fails += st_fails + pw_fails
+    print(f"fuzz campaign: {trials} trials ({st_trials} streaming, "
+          f"{pw_trials} pairwise) over {len(LAYOUTS)} layouts, "
+          f"{fails} failures")
     return 1 if fails else 0
 
 
