@@ -8,6 +8,9 @@ def test_package_docstring_example():
     s = st.DynamicSearcher(b"ipsum")
     assert s.search_in(b"lorem ipsum dolor") is True
     assert s.find(b"lorem ipsum dolor") == 6
+    assert list(s.positions(b"lorem ipsum, ipsum")) == [6, 13]
+    assert list(s.find_iter(b"lorem ipsum, ipsum")) == [6, 13]
+    assert st.DynamicSearcher(b"aba").count_in(b"ababa") == 2  # overlapping
 
     hay = st.preprocess(b"some corpus with a needle inside" * 40)
     got = st.BatchedSearcher([b"a", b"needle"]).find_all(hay)
