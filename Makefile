@@ -1,7 +1,10 @@
 # Developer entry points (the check.yml analogue: test gate, slow conformance,
 # bench, native build).
 
-.PHONY: test test-tpu test-slow fuzz bench bench-competitors native clean
+.PHONY: lint test test-tpu test-slow fuzz bench bench-competitors native clean
+
+lint:
+	python scripts/lint.py
 
 test:
 	python -m pytest tests/ -x -q -m "not slow"

@@ -16,7 +16,6 @@ Usage: python benchmarks/competitors.py  (markdown table to stdout).
 import sys
 import time
 
-import numpy as np
 
 sys.path.insert(0, ".")
 

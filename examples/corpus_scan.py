@@ -9,7 +9,6 @@ import time
 
 sys.path.insert(0, ".")
 
-import numpy as np
 
 import sliceslice_tpu as st
 

@@ -10,7 +10,9 @@ error): ``dynamic`` (length dispatch), ``pallas`` (native kernels), ``xla``
 (portable), ``naive`` (oracle), ``memchr`` (1-byte needles), ``batched``
 (treats the needle argument as a comma-separated list), ``count``
 (grep -c analogue: overlapping occurrence counts, comma-separated needles),
-``positions`` (grep -b analogue: every overlapping match offset).
+``positions`` (grep -b analogue: every overlapping match offset).  In
+multi-needle lists ``\\,`` escapes a literal comma and ``\\\\`` a literal
+backslash (see :func:`split_needles`).
 
 The file is memory-mapped and laid out on device once (the reference mmaps
 via memmap2, examples/grep.rs:49-50); output is the match verdict plus the
@@ -40,22 +42,47 @@ BACKENDS = {
 }
 
 
+def split_needles(arg: bytes) -> list:
+    """Split a multi-needle CLI argument on commas, honoring backslash
+    escapes: ``\\,`` is a literal comma, ``\\\\`` a literal backslash.  A
+    needle containing a comma is therefore expressible (plain split silently
+    produced wrong needles for count/batched/positions backends)."""
+    needles = []
+    cur = bytearray()
+    i = 0
+    n = len(arg)
+    while i < n:
+        c = arg[i : i + 1]
+        if c == b"\\" and i + 1 < n and arg[i + 1 : i + 2] in (b",", b"\\"):
+            cur += arg[i + 1 : i + 2]
+            i += 2
+            continue
+        if c == b",":
+            needles.append(bytes(cur))
+            cur = bytearray()
+        else:
+            cur += c
+        i += 1
+    needles.append(bytes(cur))
+    return needles
+
+
 def search_in_file(backend: str, needle: bytes, path: str):
     """Returns (found: bool, offset: int|None) — one search, grep-style."""
     if backend == "count":
         # grep -c analogue (overlapping occurrences), comma-separated needles.
-        needles = needle.split(b",")
+        needles = split_needles(needle)
         dh = load_haystack(path, kh=max(max(len(n) for n in needles), 4))
         counts = BatchedSearcher(needles).count_all(dh)
         return [(int(c) > 0, int(c)) for c in counts]
     if backend == "batched":
-        needles = needle.split(b",")
+        needles = split_needles(needle)
         dh = load_haystack(path, kh=max(max(len(n) for n in needles), 4))
         offs = BatchedSearcher(needles).find_all(dh)
         return [(o >= 0, None if o < 0 else int(o)) for o in offs]
     if backend == "positions":
         # grep -b analogue: every overlapping match offset per needle.
-        needles = needle.split(b",")
+        needles = split_needles(needle)
         dh = load_haystack(path, kh=max(max(len(n) for n in needles), 4))
         pos = BatchedSearcher(needles).positions_all(dh)
         return [(p.size > 0, p) for p in pos]
@@ -85,11 +112,11 @@ def main(argv=None):
     for path in files:
         res = search_in_file(backend, needle_b, path)
         if backend == "count":
-            for nd, (found, c) in zip(needle_b.split(b","), res):
+            for nd, (found, c) in zip(split_needles(needle_b), res):
                 print(f"{path}: {nd.decode('utf-8', 'replace')}: {c}")
                 rc = 0 if found else rc
         elif backend == "positions":
-            for nd, (found, pos) in zip(needle_b.split(b","), res):
+            for nd, (found, pos) in zip(split_needles(needle_b), res):
                 shown = ",".join(map(str, pos[:100].tolist()))
                 more = f" (+{pos.size - 100} more)" if pos.size > 100 else ""
                 print(
@@ -98,7 +125,7 @@ def main(argv=None):
                 )
                 rc = 0 if found else rc
         elif backend == "batched":
-            for nd, (found, off) in zip(needle_b.split(b","), res):
+            for nd, (found, off) in zip(split_needles(needle_b), res):
                 print(f"{path}: {nd.decode('utf-8', 'replace')}: "
                       f"{'match at ' + str(off) if found else 'no match'}")
                 rc = 0 if found else rc

@@ -193,7 +193,7 @@ class BatchedSearcher:
     def count_all_device(self, hay: HaystackLike):
         """Device-resident int32[N] overlapping-occurrence counts."""
         dh = self._layout(hay)
-        if dh.cols is None:
+        if not dh.tiled:
             raise ValueError(
                 "count_all requires a tiled layout "
                 "(preprocess with force_cols=True for short haystacks)"
@@ -209,7 +209,7 @@ class BatchedSearcher:
         over the reference's bool sweep; no early exit exists to recover
         (absence proofs and counts both need the full scan)."""
         dh = self._layout(hay)
-        if dh.cols is None:
+        if not dh.tiled:
             from ..searcher import overlapping_count
 
             data = dh.host_bytes
@@ -242,7 +242,7 @@ class BatchedSearcher:
             return np.zeros((0,), np.int64)
         if early_exit:
             dh = self._layout(hay)
-            if dh.cols is not None and dh.g > 1:
+            if dh.tiled and dh.g > 1:
                 return self._find_early_exit(dh, first_chunk_segments)
             hay = dh
         firsts = self.find_all_device(hay)
@@ -256,7 +256,7 @@ class BatchedSearcher:
         throughput (keep results on device, sync once per batch of queries)."""
         n = len(self.needles)
         dh = self._layout(hay)
-        if dh.cols is None:
+        if not dh.tiled:
             parts = [
                 xla_backend.find_batched_flat(
                     dh.flat,
@@ -290,7 +290,7 @@ class BatchedSearcher:
         from ..searcher import _host_positions
 
         dh = self._layout(hay)
-        if dh.cols is None:
+        if not dh.tiled:
             data = dh.host_bytes
             if data is None:
                 raise ValueError(
@@ -305,7 +305,7 @@ class BatchedSearcher:
             for i0 in range(0, g.n, batch):
                 words = np.asarray(
                     xla_backend.match_bitmap_batched(
-                        dh.cols,
+                        dh.require_cols(),
                         vals[i0 : i0 + batch],
                         msks[i0 : i0 + batch],
                         ends[i0 : i0 + batch],

@@ -23,15 +23,15 @@ class MemchrSearcher(SearcherBase):
 
     def _find_device(self, dh: DeviceHaystack):
         end = dh.length  # end = len - k + 1 with k = 1
-        if dh.cols is None:
+        if not dh.tiled:
             vals, msks = probe_program(self.needle.data)
             return xla_backend.find_flat(dh.flat, vals, msks, end)
         return scan_kernel.memchr_find_cols(
-            dh.cols, self._byte, end, s=dh.s
+            dh.require_cols(), self._byte, end, s=dh.s
         )
 
     def _count_device(self, dh: DeviceHaystack):
-        if dh.cols is None:
+        if not dh.tiled:
             raise NotImplementedError  # flat layout: host fallback
         vals, msks = probe_program(self.needle.data)
         return scan_kernel.batched_count_cols(

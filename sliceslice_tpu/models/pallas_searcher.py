@@ -44,7 +44,7 @@ class PallasSearcher(SearcherBase):
     def _find_device(self, dh: DeviceHaystack):
         k = self.needle.size
         end = dh.length - k + 1
-        if dh.cols is None:
+        if not dh.tiled:
             return xla_backend.find_flat(
                 dh.flat, self._values[0], self._masks[0], end
             )
@@ -69,7 +69,7 @@ class PallasSearcher(SearcherBase):
     def _count_device(self, dh: DeviceHaystack):
         k = self.needle.size
         end = dh.length - k + 1
-        if dh.cols is None:
+        if not dh.tiled:
             raise NotImplementedError  # flat layout: host fallback
         dh = dh.ensure_kh(k)
         return scan_kernel.batched_count_cols(

@@ -25,9 +25,9 @@ class XlaSearcher(SearcherBase):
     def _find_device(self, dh: DeviceHaystack):
         k = self.needle.size
         end = dh.length - k + 1
-        if dh.cols is None:
+        if not dh.tiled:
             return xla_backend.find_flat(dh.flat, self._values, self._masks, end)
         dh = dh.ensure_kh(k)
         return xla_backend.find_cols(
-            dh.cols, self._values, self._masks, end, dh.s
+            dh.require_cols(), self._values, self._masks, end, dh.s
         )

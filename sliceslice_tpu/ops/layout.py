@@ -140,6 +140,44 @@ class DeviceHaystack:
     def seg_bytes(self) -> int:
         return self.s * LANES
 
+    @property
+    def tiled(self) -> bool:
+        """True for the tiled (segmented) layout, False for the flat
+        short-haystack layout — independent of whether ``cols`` is currently
+        materialized (see :meth:`drop_cols`)."""
+        return self.s > 0
+
+    def require_cols(self) -> jax.Array:
+        """The uint8 byte tiles, rebuilding them from the host copy if they
+        were dropped (:meth:`drop_cols` / ``preprocess(windows_only=True)``).
+        Only the positions/bitmap and memchr paths read raw byte tiles; the
+        find/count kernels consume the packed windows."""
+        if self.cols is not None:
+            return self.cols
+        if not self.tiled:
+            raise ValueError("flat layout has no cols")
+        if self.host_bytes is None:
+            raise ValueError(
+                "byte tiles were dropped (windows_only layout) and no host "
+                "bytes were retained to rebuild them; preprocess with "
+                "keep_host=True for positions/memchr use"
+            )
+        total = self.g * self.s * LANES + self.kh
+        padded = np.zeros((total,), dtype=np.uint8)
+        padded[: self.length] = np.frombuffer(self.host_bytes, dtype=np.uint8)
+        self.cols = _build_cols(jnp.asarray(padded), self.g, self.s, self.kh)
+        return self.cols
+
+    def drop_cols(self) -> "DeviceHaystack":
+        """Free the uint8 byte tiles, keeping only the packed windows —
+        find/count-only workloads then pin ~4/5 of the dual-layout HBM
+        footprint instead of all of it (positions/memchr lazily rebuild via
+        :meth:`require_cols` when host bytes were kept)."""
+        if self.tiled:
+            self.windows()  # make sure pw exists before freeing its source
+            self.cols = None
+        return self
+
     def supports_needle_len(self, k: int) -> bool:
         from ..needle import needed_halo
 
@@ -147,7 +185,7 @@ class DeviceHaystack:
 
     def ensure_halo(self, min_kh: int) -> "DeviceHaystack":
         """Return a layout with at least ``min_kh`` halo bytes."""
-        if self.cols is None or self.kh >= min_kh:
+        if not self.tiled or self.kh >= min_kh:
             return self
         if self.host_bytes is None:
             raise ValueError(
@@ -165,9 +203,9 @@ class DeviceHaystack:
     def windows(self) -> jax.Array:
         """Packed uint32 windows (g, s+kh-3, LANES), built once and cached."""
         if self.pw is None:
-            if self.cols is None:
+            if not self.tiled:
                 raise ValueError("flat layout has no tiled windows")
-            self.pw = _pack_all(self.cols)
+            self.pw = _pack_all(self.require_cols())
         return self.pw
 
 
@@ -177,9 +215,15 @@ def preprocess(
     keep_host: bool = True,
     force_cols: bool = False,
     seg_rows: Optional[int] = None,
+    windows_only: bool = False,
 ) -> DeviceHaystack:
     """Build the device layout for a haystack. O(len) once, amortized over all
-    subsequent searches."""
+    subsequent searches.
+
+    ``windows_only``: drop the uint8 byte tiles after deriving the packed
+    windows — find/count-only workloads then hold ~4 bytes/corpus-byte on
+    device instead of ~5, raising the max on-chip corpus (positions/memchr
+    rebuild tiles lazily from the host copy when ``keep_host``)."""
     if isinstance(hay, np.ndarray):
         if hay.dtype != np.uint8:
             raise TypeError(f"haystack ndarray must be uint8, got {hay.dtype}")
@@ -214,6 +258,8 @@ def preprocess(
         host_bytes=data if keep_host else None,
     )
     dh.windows()  # eager: part of the preprocess-once cost
+    if windows_only:
+        dh.drop_cols()
     return dh
 
 

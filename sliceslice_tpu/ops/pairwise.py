@@ -275,60 +275,17 @@ class PairwiseSearcher:
         out = (tuple(plan), pht, lh, mi, n, h)
         return self._cache_put("plan", haystacks, out)
 
-    @functools.lru_cache(maxsize=32)
     def _fused(self, plan, n: int, h: int, want: str):
         """One jit program for the whole sweep: every block kernel plus the
-        requested reduction — host dispatch independent of block count."""
-        b = self.block
-        if self.use_pallas:
-            interp = config.use_interpret()
-            block_fn = functools.partial(_pair_block_pallas, interpret=interp)
-        else:
-            block_fn = _pair_block
-
-        def blocks(valt, mskt, ln, pht, lh):
-            for (i0, j0, tn_b, mi_b) in plan:
-                if tn_b == 0:
-                    yield (i0, j0, 0), None
-                    continue
-                yield (i0, j0, mi_b), block_fn(
-                    valt[:tn_b, i0 : i0 + b],
-                    mskt[:tn_b, i0 : i0 + b],
-                    ln[i0 : i0 + b],
-                    pht[: mi_b + 4 * tn_b - 3, j0 : j0 + b],
-                    lh[j0 : j0 + b],
-                    tn_b,
-                    mi_b,
-                )
-
-        if want == "count":
-
-            @jax.jit
-            def run(valt, mskt, ln, pht, lh):
-                total = jnp.int32(0)
-                for _meta, res in blocks(valt, mskt, ln, pht, lh):
-                    if res is not None:
-                        total = total + jnp.sum(res[0], dtype=jnp.int32)
-                return total
-
-        else:
-
-            @jax.jit
-            def run(valt, mskt, ln, pht, lh):
-                contains = jnp.zeros((n, h), jnp.bool_)
-                first = jnp.full((n, h), -1, jnp.int32)
-                for (i0, j0, mi_b), res in blocks(valt, mskt, ln, pht, lh):
-                    if res is None:
-                        continue
-                    c, f = res
-                    f = jnp.where(f >= mi_b, -1, f)
-                    contains = jax.lax.dynamic_update_slice(
-                        contains, c, (i0, j0)
-                    )
-                    first = jax.lax.dynamic_update_slice(first, f, (i0, j0))
-                return contains, first
-
-        return run
+        requested reduction — host dispatch independent of block count.
+        Cached at module level keyed on the (hashable) plan so searcher
+        instances are NOT pinned alive by the compile cache (an instance-
+        method lru_cache would leak every searcher's device tables in a
+        long-running serving process)."""
+        return _fused_runner(
+            plan, n, h, want, self.block, self.use_pallas,
+            config.use_interpret(),
+        )
 
     def _matrices_device(self, haystacks=None):
         hit = self._cache_get("mat", haystacks)
@@ -351,6 +308,63 @@ class PairwiseSearcher:
         plan, pht, lh, _mi, n, h = self._plan(haystacks)
         run = self._fused(plan, n, h, "count")
         return run(self._valt, self._mskt, self._ln, pht, lh)
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_runner(
+    plan, n: int, h: int, want: str, b: int, use_pallas: bool,
+    interpret: bool,
+):
+    """The fused sweep program for one (plan, shape, reduction) — see
+    PairwiseSearcher._fused."""
+    if use_pallas:
+        block_fn = functools.partial(_pair_block_pallas, interpret=interpret)
+    else:
+        block_fn = _pair_block
+
+    def blocks(valt, mskt, ln, pht, lh):
+        for (i0, j0, tn_b, mi_b) in plan:
+            if tn_b == 0:
+                yield (i0, j0, 0), None
+                continue
+            yield (i0, j0, mi_b), block_fn(
+                valt[:tn_b, i0 : i0 + b],
+                mskt[:tn_b, i0 : i0 + b],
+                ln[i0 : i0 + b],
+                pht[: mi_b + 4 * tn_b - 3, j0 : j0 + b],
+                lh[j0 : j0 + b],
+                tn_b,
+                mi_b,
+            )
+
+    if want == "count":
+
+        @jax.jit
+        def run(valt, mskt, ln, pht, lh):
+            total = jnp.int32(0)
+            for _meta, res in blocks(valt, mskt, ln, pht, lh):
+                if res is not None:
+                    total = total + jnp.sum(res[0], dtype=jnp.int32)
+            return total
+
+    else:
+
+        @jax.jit
+        def run(valt, mskt, ln, pht, lh):
+            contains = jnp.zeros((n, h), jnp.bool_)
+            first = jnp.full((n, h), -1, jnp.int32)
+            for (i0, j0, mi_b), res in blocks(valt, mskt, ln, pht, lh):
+                if res is None:
+                    continue
+                c, f = res
+                f = jnp.where(f >= mi_b, -1, f)
+                contains = jax.lax.dynamic_update_slice(
+                    contains, c, (i0, j0)
+                )
+                first = jax.lax.dynamic_update_slice(first, f, (i0, j0))
+            return contains, first
+
+    return run
 
 
 def pairwise_contains_all(words: Sequence[bytes]) -> np.ndarray:

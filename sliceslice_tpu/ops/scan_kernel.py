@@ -107,8 +107,8 @@ def _hoist_windows(pbuf, p4buf, slot, cs, t, unrolled, n_chunks):
     """Single-chunk segments: the window slices are identical for every
     needle in the block — hoist them out of the needle loop so they are
     loaded once per segment (loop-invariant values) instead of once per
-    needle.  Bounded to t <= 4 (<= 1 MiB of live windows) to keep Mosaic
-    register/stack pressure sane."""
+    needle.  Bounded to t <= 4 (<= 2 MiB of live windows at cs=1024) to keep
+    Mosaic register/stack pressure sane."""
     if not (unrolled and n_chunks == 1 and t <= 4):
         return None
 
@@ -275,10 +275,14 @@ def _raw_batched_call(
 
         seg_dma = _seg_dma_factory(pw_hbm, pbuf, p4buf, sem, h)
 
-        # Kick off segment 0 into slot 0 (waited either by the first loop
-        # iteration or, for an empty block, by the epilogue drain).
-        for c in seg_dma(0, 0):
-            c.start()
+        # Kick off segment 0 into slot 0 (waited by the first loop
+        # iteration).  Fully-padded trailing blocks (cnt0 == 0) never enter
+        # the loop, so they issue no HBM traffic at all — mirrored by the
+        # cnt0 guard on the epilogue drain.
+        @pl.when(cnt0 > 0)
+        def _():
+            for c in seg_dma(0, 0):
+                c.start()
 
         # Constants shared by every segment: in-chunk row iota (the only
         # per-position plane the probes need — the lane*s and seg_base
@@ -434,10 +438,9 @@ def _raw_batched_call(
             (jnp.int32(0), cnt0, cnt0, jnp.int32(0)),
         )
 
-        # Drain the in-flight speculative prefetch (or the unconsumed
-        # segment-0 fetch of an all-padded block) so no DMA outlives the
-        # kernel.
-        @pl.when(gi_end < g)
+        # Drain the in-flight speculative prefetch so no DMA outlives the
+        # kernel (all-padded blocks started nothing — cnt0 guard above).
+        @pl.when(jnp.logical_and(gi_end < g, cnt0 > 0))
         def _():
             for c in seg_dma(gi_end, jax.lax.rem(gi_end, 2)):
                 c.wait()

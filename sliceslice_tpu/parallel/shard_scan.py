@@ -224,7 +224,7 @@ def _sharded_homogeneous(
     interpret: Optional[bool] = None,
     mode: str = "find",
 ) -> jax.Array:
-    if dh.cols is None:
+    if not dh.tiled:
         raise ValueError("sharded scan requires a tiled (cols) layout")
     pw = dh.windows()
     g, rows, lanes = pw.shape
@@ -309,11 +309,12 @@ class ShardedBatchedSearcher:
     def find_all(self, dh: DeviceHaystack) -> np.ndarray:
         dh = self.inner._layout(dh)
         n = len(self.inner)
-        key = id(dh.cols)
+        pw = dh.windows()  # corpus identity = the packed-window array
+        key = id(pw)
         hit = self._placed_corpus.get(key)
-        if hit is None or hit[0] is not dh.cols:
+        if hit is None or hit[0] is not pw:
             self._placed_corpus = {
-                key: (dh.cols, self._tables(dh.length))
+                key: (pw, self._tables(dh.length))
             }
         tabs = self._placed_corpus[key][1]
         parts = []
@@ -333,11 +334,12 @@ class ShardedBatchedSearcher:
         corpus — one ``psum`` per query batch."""
         dh = self.inner._layout(dh)
         n = len(self.inner)
-        key = id(dh.cols)
+        pw = dh.windows()  # corpus identity = the packed-window array
+        key = id(pw)
         hit = self._placed_corpus.get(key)
-        if hit is None or hit[0] is not dh.cols:
+        if hit is None or hit[0] is not pw:
             self._placed_corpus = {
-                key: (dh.cols, self._tables(dh.length))
+                key: (pw, self._tables(dh.length))
             }
         tabs = self._placed_corpus[key][1]
         parts = []

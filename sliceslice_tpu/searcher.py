@@ -115,7 +115,7 @@ class SearcherBase:
         if isinstance(hay, DeviceHaystack):
             if hay.length <= k:
                 return self._trivial_count(self._host_bytes_of(hay), k)
-            if hay.cols is not None:
+            if hay.tiled:
                 try:
                     return int(self._count_device(hay))
                 except NotImplementedError:
@@ -149,7 +149,7 @@ class SearcherBase:
 
         k = self.needle.size
         if isinstance(hay, DeviceHaystack):
-            if hay.length <= k or hay.cols is None:
+            if hay.length <= k or not hay.tiled:
                 data = self._host_bytes_of(hay)
                 if data is None:
                     raise ValueError(
@@ -165,7 +165,7 @@ class SearcherBase:
             dh = self._layout(data)
         values, masks = probe_program(self.needle.data)
         words = xla_backend.match_bitmap_cols(
-            dh.cols, values, masks, dh.length - k + 1, dh.s
+            dh.require_cols(), values, masks, dh.length - k + 1, dh.s
         )
         return xla_backend.decode_match_bitmap(np.asarray(words), dh.s)
 

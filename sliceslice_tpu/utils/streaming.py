@@ -88,7 +88,11 @@ class StreamingScanner:
         for wbytes in windows:
             if base + len(wbytes) > MAX_STREAM_BYTES:
                 raise ValueError("stream exceeds int32 offset range (2 GiB)")
-            dh = preprocess(wbytes, kh=self._kh, keep_host=False)
+            # windows_only: the scan consumes packed windows only, so each
+            # window pins ~4 bytes/byte on device instead of ~5.
+            dh = preprocess(
+                wbytes, kh=self._kh, keep_host=False, windows_only=True
+            )
             is_last = len(wbytes) < self.window + self.overlap
             parts = []
             blobs = []
@@ -103,7 +107,7 @@ class StreamingScanner:
                 end_local = np.maximum(end_local, 0)
                 ends = grp.pad_ends(base + end_local)
                 end_local = grp.pad_ends(end_local)
-                if dh.cols is None:
+                if not dh.tiled:
                     from ..ops import xla_backend
 
                     local = xla_backend.find_batched_flat(

@@ -8,7 +8,6 @@ regardless of input content — these tests pin exactness on the classic
 pathological families (the timing story is structural: no data-dependent
 branches exist in the scan)."""
 
-import numpy as np
 import pytest
 
 from sliceslice_tpu import BatchedSearcher, DynamicSearcher, naive_find

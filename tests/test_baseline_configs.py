@@ -3,7 +3,6 @@ data files (configs 4-5, the sharded/multi-host scans, live in
 test_sharded.py / test_scaling.py)."""
 
 import numpy as np
-import pytest
 
 from sliceslice_tpu import BatchedSearcher, DynamicSearcher, naive_find
 from sliceslice_tpu.models.pallas_searcher import searcher_for_size

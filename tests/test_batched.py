@@ -1,7 +1,6 @@
 """BatchedSearcher: mixed lengths, group scatter, early-exit parity."""
 
 import numpy as np
-import pytest
 
 from sliceslice_tpu import BatchedSearcher, naive_find
 from sliceslice_tpu.ops.layout import preprocess

@@ -61,3 +61,26 @@ def test_cli_positions(corpus_file, capsys):
     assert main(["positions", "m", corpus_file]) == 0
     out = capsys.readouterr().out
     assert "(+200 more)" in out  # 3 'm's per 27-byte repeat
+
+
+def test_split_needles_escaping():
+    from sliceslice_tpu.cli import split_needles
+
+    assert split_needles(b"a,b,c") == [b"a", b"b", b"c"]
+    # \, is a literal comma inside a needle (plain split was silently wrong)
+    assert split_needles(rb"a\,b,c") == [b"a,b", b"c"]
+    assert split_needles(rb"a\\,b") == [b"a\\", b"b"]
+    assert split_needles(rb"a\\\,b") == [b"a\\,b"]
+    assert split_needles(b"") == [b""]
+    assert split_needles(b"a,") == [b"a", b""]
+    # a lone backslash before a non-escapable byte passes through verbatim
+    assert split_needles(rb"a\nb") == [rb"a\nb"]
+
+
+def test_cli_count_escaped_comma(tmp_path, capsys):
+    p = tmp_path / "hay.txt"
+    p.write_bytes(b"x,y and x and y," * 10)
+    assert main(["count", r"x\,y,y\,", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "x,y: 10" in out
+    assert "y,: 10" in out  # "y," once per 16-byte repeat

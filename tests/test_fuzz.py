@@ -2,7 +2,6 @@
 the reference's test strategy (it has no fuzzing, SURVEY.md §4); the natural
 upgrade once tests are Python."""
 
-import numpy as np
 from hypothesis import given, settings, strategies as st_
 
 from sliceslice_tpu import BatchedSearcher, DynamicSearcher, naive_find

@@ -8,7 +8,6 @@ import pytest
 from sliceslice_tpu.ops.layout import (
     LANES,
     SEG_CAP_ROWS,
-    DeviceHaystack,
     plan_layout,
     preprocess,
 )
@@ -77,3 +76,56 @@ def test_supports_needle_len(rng):
     dh = preprocess(data, kh=32, force_cols=True)
     assert dh.supports_needle_len(32)
     assert not dh.supports_needle_len(64)
+
+
+def test_windows_only_layout(rng):
+    from sliceslice_tpu.models.batched import BatchedSearcher
+
+    data = bytes(rng.integers(97, 105, (40_000,), dtype=np.uint8))
+    needles = [data[100:105], data[9_000:9_007], b"zzzz"]
+    dh = preprocess(data, kh=16, force_cols=True, windows_only=True)
+    assert dh.tiled and dh.cols is None and dh.pw is not None
+    # find/count consume packed windows only: work with cols dropped
+    bs = BatchedSearcher(needles)
+    got = bs.find_all(dh)
+    exp = [data.find(nd) for nd in needles]
+    assert got.tolist() == exp
+    assert bs.count_all(dh).tolist() == [
+        _count(data, nd) for nd in needles
+    ]
+    # positions needs byte tiles: lazily rebuilt from the host copy
+    pos = bs.positions_all(dh)
+    assert pos[0][0] == exp[0] and pos[2].size == 0
+    assert dh.cols is not None  # rebuilt
+
+
+def _count(data, nd):
+    c = 0
+    p = data.find(nd)
+    while p != -1:
+        c += 1
+        p = data.find(nd, p + 1)
+    return c
+
+
+def test_windows_only_without_host_bytes_raises(rng):
+    data = bytes(rng.integers(0, 256, (20_000,), dtype=np.uint8))
+    dh = preprocess(
+        data, kh=16, force_cols=True, windows_only=True, keep_host=False
+    )
+    assert dh.tiled and dh.cols is None
+    with pytest.raises(ValueError, match="dropped"):
+        dh.require_cols()
+    # flat layouts have no cols at all
+    flat = preprocess(b"abc")
+    with pytest.raises(ValueError, match="flat"):
+        flat.require_cols()
+
+
+def test_drop_cols_roundtrip(rng):
+    data = bytes(rng.integers(0, 256, (30_000,), dtype=np.uint8))
+    dh = preprocess(data, kh=16, force_cols=True)
+    ref = np.asarray(dh.cols)
+    dh.drop_cols()
+    assert dh.cols is None and dh.pw is not None
+    np.testing.assert_array_equal(np.asarray(dh.require_cols()), ref)

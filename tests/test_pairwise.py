@@ -2,7 +2,6 @@
 and a words.txt sample (reference short-haystack conformance shape)."""
 
 import numpy as np
-import pytest
 
 from sliceslice_tpu.ops.pairwise import PairwiseSearcher, pairwise_contains_all
 
@@ -90,3 +89,19 @@ def test_pairwise_pallas_edge_cases():
     ps = PairwiseSearcher(ws, use_pallas=True)
     assert (ps.contains_matrix() == c_exp).all()
     assert (ps.first_matrix() == f_exp).all()
+
+
+def test_fused_cache_does_not_pin_instances():
+    # The sweep-program cache is module-level, keyed on the block plan:
+    # searcher instances (and their device tables) must be collectable
+    # after use in a long-running serving process.
+    import gc
+    import weakref
+
+    words = [b"abc", b"abcd", b"zzz", b"bcda"]
+    s = PairwiseSearcher(words)
+    s.contains_matrix()
+    ref = weakref.ref(s)
+    del s
+    gc.collect()
+    assert ref() is None
