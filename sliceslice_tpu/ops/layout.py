@@ -48,6 +48,12 @@ SEG_CAP_ROWS = 4096
 #: Haystacks at or below this many bytes use the flat (non-tiled) XLA path.
 SHORT_HAY_BYTES = 8192
 
+#: A single device layout must keep every position (including trailing pad)
+#: inside int32 — the kernels' offset math and SENTINEL live there.  Larger
+#: corpora stream (utils/streaming.py, int64 host fold) or shard
+#: (parallel/shard_scan.py, per-shard local int32 + int64 combine).
+MAX_DEVICE_POSITIONS = 2**31 - 1
+
 
 def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -249,6 +255,12 @@ def preprocess(
         g = max(1, -(-length // (s * LANES)))
     else:
         s, g = plan_layout(length, kh)
+    if g * s * LANES > MAX_DEVICE_POSITIONS:
+        raise ValueError(
+            f"haystack of {length} bytes exceeds the int32 position range of "
+            "a single device layout; use utils.streaming.StreamingScanner or "
+            "a sharded multi-host corpus (parallel/)"
+        )
     total = g * s * LANES + kh
     padded = np.zeros((total,), dtype=np.uint8)
     padded[:length] = arr

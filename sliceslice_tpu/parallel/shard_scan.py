@@ -5,12 +5,17 @@ tables replicated, match flags/offsets reduced via ICI collectives).
 Because layout segments are self-contained (each carries its own halo bytes,
 ops/layout.py), sharding the segment axis requires NO neighbor communication:
 each chip scans its shard with the same Pallas kernel the single-chip path
-uses, computes per-needle lane-min offsets with a *global* base
-(``axis_index('data') * shard_bytes``), and a single ``pmin`` over the data
-axis — one int32 vector per query batch — produces exact global first-match
-offsets.  Cross-shard-boundary matches are counted exactly once: a match
-belongs to the shard where its first byte lives (halo bytes are read-only
-context), the reference's ``end = len - k + 1`` rule applied globally.
+uses, computing *shard-local* int32 offsets, and the global first match is
+a lexicographic minimum over (shard index, local offset) — two tiny int32
+``pmin``s per query batch over ICI.  Device math never leaves int32, so
+global corpora beyond the 2 GiB int32 range are exact (the reference is
+offset-size agnostic via usize, src/lib.rs:253-287): when the combined
+offset ``shard * shard_bytes + local`` fits int32 it is produced on device
+(API identical to round 1); past 2 GiB the int64 combine happens on host.
+Cross-shard-boundary matches are counted exactly once: a match belongs to
+the shard where its first byte lives (halo bytes are read-only context),
+the reference's ``end = len - k + 1`` rule applied per shard via clipped
+local ends.
 """
 
 from __future__ import annotations
@@ -51,31 +56,53 @@ def _sharded_call(
     interpret: bool,
     pen_full: bool = False,
     n_real: int | None = None,
+    fits32: bool = True,
 ):
+    """Sharded find.  ``ends`` arrive as a (n_data, n_pad) int32 matrix of
+    shard-LOCAL valid-position bounds (``clip(end_global - shard_base, 0,
+    shard_bytes)``, computed in int64 on host) so the kernel and the
+    reduction never need a global int32 offset.
+
+    The global first match is the lexicographic min over (shard index,
+    local offset): two int32 ``pmin``s.  With ``fits32`` (global positions
+    fit int32) the combine ``shard * shard_bytes + local`` happens on device
+    and the output matches round 1's API; otherwise the (2, n) component
+    pair is returned for the int64 host combine."""
     n_data = mesh.shape[DATA_AXIS]
     n_needle = mesh.shape[NEEDLE_AXIS]
     g_local = g_pad // n_data
     n_local = n_pad // n_needle
     seg = s * LANES
+    shard_bytes = g_local * seg
     raw = scan_kernel._raw_batched_call(
         g_local, h, s, t, nblk, n_local, interpret, pen_full,
         n_real=n_real,
     )
 
     def local_fn(pw_l, vals_l, msks_l, ends_l):
-        shard = jax.lax.axis_index(DATA_AXIS)
-        base = (shard * g_local * seg).astype(jnp.int32).reshape(1)
+        shard = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        base0 = jnp.zeros((1,), jnp.int32)  # kernel offsets are shard-local
         # Global row offset of this needle shard: the kernel skips padded
         # rows (>= n_real) from its unfound list.
         row0 = (
             jax.lax.axis_index(NEEDLE_AXIS) * n_local
         ).astype(jnp.int32).reshape(1)
-        out = raw(vals_l, msks_l, base, row0, pw_l)  # (n_local, LANES)
-        first = jnp.min(out, axis=-1)
-        # The one collective of the whole workload: min offset across the
-        # corpus shards (rides ICI; one int32 per needle).
-        first = jax.lax.pmin(first, DATA_AXIS)
-        return jnp.where(first < ends_l, first, SENTINEL)
+        out = raw(vals_l, msks_l, base0, row0, pw_l)  # (n_local, LANES)
+        local = jnp.min(out, axis=-1)
+        has = local < ends_l.reshape(-1)
+        # The collectives of the whole workload (ride ICI; one int32 per
+        # needle each): winning shard index, then the winner's local offset.
+        key = jnp.where(has, shard, jnp.int32(SENTINEL))
+        kmin = jax.lax.pmin(key, DATA_AXIS)
+        lo = jnp.where(
+            jnp.logical_and(has, key == kmin), local, jnp.int32(SENTINEL)
+        )
+        lmin = jax.lax.pmin(lo, DATA_AXIS)
+        if fits32:
+            return jnp.where(
+                kmin < SENTINEL, kmin * shard_bytes + lmin, SENTINEL
+            )
+        return jnp.stack([kmin, lmin])
 
     fn = shard_map(
         local_fn,
@@ -84,9 +111,9 @@ def _sharded_call(
             P(DATA_AXIS, None, None),
             P(NEEDLE_AXIS, None),
             P(NEEDLE_AXIS, None),
-            P(NEEDLE_AXIS),
+            P(DATA_AXIS, NEEDLE_AXIS),
         ),
-        out_specs=P(NEEDLE_AXIS),
+        out_specs=P(NEEDLE_AXIS) if fits32 else P(None, NEEDLE_AXIS),
         # pallas_call out_shapes don't carry vma annotations.
         check_vma=False,
     )
@@ -105,32 +132,39 @@ def _sharded_count_call(
     interpret: bool,
     pen_full: bool = False,
     n_real: int | None = None,
+    fits32: bool = True,
 ):
-    """Distributed occurrence count: local count kernel per shard, ONE
-    ``psum`` over the data axis (exactly-once at shard boundaries follows
-    from positions belonging to the shard where the match starts; halo
-    bytes are read-only context)."""
+    """Distributed occurrence count: local count kernel per shard (in-kernel
+    valid-position bound applied with shard-LOCAL ends), then a ``psum``
+    over the data axis (exactly-once at shard boundaries follows from
+    positions belonging to the shard where the match starts; halo bytes are
+    read-only context).  Per-shard counts always fit int32 (a shard holds
+    < 2^31 positions); when the GLOBAL total might not (``not fits32``) the
+    psum runs on two int32 limbs (hi = count >> 16, lo = count & 0xffff —
+    exact for up to 2^15 shards) and the int64 recombine happens on host."""
     n_data = mesh.shape[DATA_AXIS]
     n_needle = mesh.shape[NEEDLE_AXIS]
-    g_local = g_pad // n_data
     n_local = n_pad // n_needle
-    seg = s * LANES
+    g_local = g_pad // n_data
     raw = scan_kernel._raw_count_call(
         g_local, h, s, t, nblk, n_local, interpret, pen_full,
         n_real=n_real,
     )
 
     def local_fn(pw_l, vals_l, msks_l, ends_l):
-        shard = jax.lax.axis_index(DATA_AXIS)
-        base = (shard * g_local * seg).astype(jnp.int32).reshape(1)
+        base0 = jnp.zeros((1,), jnp.int32)  # kernel offsets are shard-local
         row0 = (
             jax.lax.axis_index(NEEDLE_AXIS) * n_local
         ).astype(jnp.int32).reshape(1)
         out = raw(
-            vals_l, msks_l, ends_l.reshape(-1, 1), base, row0, pw_l
+            vals_l, msks_l, ends_l.reshape(-1, 1), base0, row0, pw_l
         )
         counts = jnp.sum(out, axis=-1)
-        return jax.lax.psum(counts, DATA_AXIS)
+        if fits32:
+            return jax.lax.psum(counts, DATA_AXIS)
+        hi = jax.lax.psum(counts >> 16, DATA_AXIS)
+        lo = jax.lax.psum(counts & 0xFFFF, DATA_AXIS)
+        return jnp.stack([hi, lo])
 
     fn = shard_map(
         local_fn,
@@ -139,9 +173,9 @@ def _sharded_count_call(
             P(DATA_AXIS, None, None),
             P(NEEDLE_AXIS, None),
             P(NEEDLE_AXIS, None),
-            P(NEEDLE_AXIS),
+            P(DATA_AXIS, NEEDLE_AXIS),
         ),
-        out_specs=P(NEEDLE_AXIS),
+        out_specs=P(NEEDLE_AXIS) if fits32 else P(None, NEEDLE_AXIS),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -156,14 +190,25 @@ def sharded_find_cols(
     nblk: Optional[int] = None,
     interpret: Optional[bool] = None,
     mode: str = "find",
-) -> jax.Array:
-    """Exact global first-match offsets (SENTINEL absent) of N needles over a
-    segment-sharded corpus on ``mesh`` (``mode="count"``: overlapping
-    occurrence counts instead, reduced with one ``psum``).
+    force_int64: bool = False,
+):
+    """Exact global first-match offsets of N needles over a segment-sharded
+    corpus on ``mesh`` (``mode="count"``: overlapping occurrence counts
+    instead, reduced with ``psum``).
+
+    Returns a device int32 array (SENTINEL where absent) when global
+    positions fit int32 — round 1's API — and a host int64 ndarray (-1 where
+    absent) for corpora past the 2 GiB int32 range, where the final
+    ``shard * shard_bytes + local`` combine must widen.  ``ends`` are global
+    (int64-safe) per-needle bounds; the kernels only see shard-local clipped
+    int32 ends.
 
     Accepts mixed-width probe tables: rows are regrouped by effective width
     (the scan kernels require homogeneous tables — every slot but the last
     full-mask) and the groups' results merged on device.
+
+    ``force_int64`` forces the >2 GiB component-pair path on any corpus so
+    tests can exercise it without materializing gigabytes.
     """
     values_np = np.asarray(values)
     masks_np = np.asarray(masks)
@@ -187,14 +232,21 @@ def sharded_find_cols(
                     nblk,
                     interpret,
                     mode,
+                    force_int64,
                 )
             )
             order.append(idx)
+        if parts and isinstance(parts[0], np.ndarray):
+            # >2 GiB corpora: parts are host int64 — merge on host.
+            out = np.empty((n,), np.int64)
+            for idx, p in zip(order, parts):
+                out[idx] = p
+            return out
         order = jnp.asarray(np.concatenate(order), jnp.int32)
         merged = jnp.concatenate([jnp.asarray(p) for p in parts])
         return jnp.zeros((n,), jnp.int32).at[order].set(merged)
     return _sharded_homogeneous(
-        dh, values, masks, ends, mesh, nblk, interpret, mode
+        dh, values, masks, ends, mesh, nblk, interpret, mode, force_int64
     )
 
 
@@ -206,11 +258,14 @@ def sharded_count_cols(
     mesh: Mesh,
     nblk: Optional[int] = None,
     interpret: Optional[bool] = None,
-) -> jax.Array:
-    """Overlapping occurrence counts (int32[N]) over a segment-sharded
-    corpus — the count analogue of :func:`sharded_find_cols`."""
+    force_int64: bool = False,
+):
+    """Overlapping occurrence counts over a segment-sharded corpus — the
+    count analogue of :func:`sharded_find_cols` (device int32 when the
+    corpus fits int32 positions, host int64 ndarray past 2 GiB)."""
     return sharded_find_cols(
-        dh, values, masks, ends, mesh, nblk, interpret, mode="count"
+        dh, values, masks, ends, mesh, nblk, interpret, mode="count",
+        force_int64=force_int64,
     )
 
 
@@ -223,18 +278,21 @@ def _sharded_homogeneous(
     nblk: Optional[int] = None,
     interpret: Optional[bool] = None,
     mode: str = "find",
-) -> jax.Array:
+    force_int64: bool = False,
+):
     if not dh.tiled:
         raise ValueError("sharded scan requires a tiled (cols) layout")
     pw = dh.windows()
     g, rows, lanes = pw.shape
     h = rows + 3  # cols row count (s + halo); pw carries h-3 window rows
     assert lanes == LANES
+    # Global ends in int64 (corpora past 2 GiB overflow int32); the kernels
+    # only ever see the shard-local clipped int32 matrix built below.
+    ends64 = np.asarray(ends, dtype=np.int64)
     masks = jnp.asarray(masks, jnp.uint32)
     # Kernels use the 2-op (w & m) == v compare; re-mask defensively in case
     # a caller-built table is not pre-masked (build_probe_table tables are).
     values = jnp.asarray(values, jnp.uint32) & masks
-    ends = jnp.asarray(ends, jnp.int32)
     n, t = values.shape
     # Homogeneous tables (regrouped by effective width above, or passed as
     # such) have full masks on every slot below the final one.
@@ -251,25 +309,62 @@ def _sharded_homogeneous(
     if g_pad != g:
         # All-pad segments: their positions lie beyond every needle's end.
         pw = jnp.pad(pw, ((0, g_pad - g), (0, 0), (0, 0)))
+    seg = dh.s * LANES
+    shard_bytes = (g_pad // n_data) * seg
+    if shard_bytes > SENTINEL:
+        raise ValueError(
+            f"shard of {shard_bytes} bytes exceeds the int32 device-offset "
+            "range; use more data-axis shards (or smaller segments)"
+        )
+    # Device offsets are shard-local int32; the combined global offset rides
+    # int32 on device only when the whole (padded) corpus fits.
+    fits32 = g_pad * seg <= SENTINEL and not force_int64
     nblk = nblk or min(config.NEEDLE_BLOCK, _round_up(max(n // n_needle, 1), 8))
     n_pad = _round_up(n, n_needle * nblk)
     if n_pad != n:
         values = jnp.pad(values, ((0, n_pad - n), (0, 0)))
         masks = jnp.pad(masks, ((0, n_pad - n), (0, 0)))
-        ends = jnp.pad(ends, ((0, n_pad - n),))
+        ends64 = np.pad(ends64, ((0, n_pad - n),))  # end 0: never matches
+    # Shard-local valid-position bounds: clip(end_global - shard_base, 0,
+    # shard_bytes) — int64 host math, int32 on device by construction.
+    bases = np.arange(n_data, dtype=np.int64) * shard_bytes
+    ends2d = np.clip(
+        ends64[None, :] - bases[:, None], 0, shard_bytes
+    ).astype(np.int32)
     if interpret is None:
         interpret = config.use_interpret()
 
     builder = _sharded_call if mode == "find" else _sharded_count_call
     run = builder(
         mesh, g_pad, h, dh.s, t, nblk, n_pad, interpret, pen_full,
-        n_real=n,
+        n_real=n, fits32=fits32,
     )
     pw = jax.device_put(pw, corpus_sharding(mesh))
     values = jax.device_put(values, table_sharding(mesh))
     masks = jax.device_put(masks, table_sharding(mesh))
-    ends = jax.device_put(ends, NamedSharding(mesh, P(NEEDLE_AXIS)))
-    return run(pw, values, masks, ends)[:n]
+    ends2d = jax.device_put(
+        ends2d, NamedSharding(mesh, P(DATA_AXIS, NEEDLE_AXIS))
+    )
+    out = run(pw, values, masks, ends2d)
+    if fits32:
+        return out[:n]
+    # int64 host combine of the two int32 components (one tiny readback —
+    # a corpus this size dwarfs it).
+    pair = _to_host(out).astype(np.int64)[:, :n]
+    if mode == "find":
+        kmin, lmin = pair
+        return np.where(kmin < SENTINEL, kmin * shard_bytes + lmin, -1)
+    hi, lo = pair
+    return (hi << 16) + lo
+
+
+def _to_host(arr) -> np.ndarray:
+    """Fetch a (possibly multi-process) device array to host."""
+    if jax.process_count() > 1 and not arr.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return np.asarray(arr)
 
 
 class ShardedBatchedSearcher:
@@ -285,6 +380,8 @@ class ShardedBatchedSearcher:
 
         self.inner = BatchedSearcher(needles, position)
         self.mesh = mesh
+        #: test hook: force the >2 GiB component-pair path on any corpus.
+        self.force_int64 = False
         self._placed_tables = None
         self._placed_corpus: dict = {}
 
@@ -294,19 +391,28 @@ class ShardedBatchedSearcher:
     def _tables(self, hay_len: int):
         tabs = []
         for grp in self.inner.groups:
+            # Ends stay HOST int64 (global bounds past 2 GiB don't fit
+            # int32); _sharded_homogeneous clips them to per-shard int32.
+            ends64 = np.maximum(
+                np.int64(hay_len) - grp.lengths.astype(np.int64) + 1, 0
+            )
+            ends64 = np.pad(ends64, ((0, grp.n_pad - grp.n),))
             tabs.append(
                 (
                     jax.device_put(grp.values_dev, table_sharding(self.mesh)),
                     jax.device_put(grp.masks_dev, table_sharding(self.mesh)),
-                    jax.device_put(
-                        grp.ends_dev(hay_len),
-                        NamedSharding(self.mesh, P(NEEDLE_AXIS)),
-                    ),
+                    ends64,
                 )
             )
         return tabs
 
-    def find_all(self, dh: DeviceHaystack) -> np.ndarray:
+    def _run_groups(
+        self, dh: DeviceHaystack, fn, remap_sentinel: bool
+    ) -> np.ndarray:
+        """Run ``fn(dh, values, masks, ends, mesh)`` per width group and
+        scatter results to input order (device scatter on the int32 path,
+        host int64 scatter past 2 GiB).  ``remap_sentinel``: map the device
+        path's SENTINEL to -1 (find semantics; counts are left as-is)."""
         dh = self.inner._layout(dh)
         n = len(self.inner)
         pw = dh.windows()  # corpus identity = the packed-window array
@@ -320,37 +426,33 @@ class ShardedBatchedSearcher:
         parts = []
         blobs = []
         for grp, (v, m, e) in zip(self.inner.groups, tabs):
-            parts.append(sharded_find_cols(dh, v, m, e, self.mesh))
+            parts.append(
+                fn(dh, v, m, e, self.mesh, force_int64=self.force_int64)
+            )
             blobs.append(grp.indices.tobytes())
+        if parts and isinstance(parts[0], np.ndarray):
+            # int64 host path: absent is already -1, offsets may exceed
+            # SENTINEL legitimately — no remap.
+            out = np.empty((n,), np.int64)
+            for grp, p in zip(self.inner.groups, parts):
+                # Group tables are pre-padded; keep the real rows only.
+                out[grp.indices] = p[: len(grp.indices)]
+            return out
         from ..models.batched import _scatter_groups
 
-        firsts = _scatter_groups(n, tuple(blobs), parts)
-        out = np.asarray(firsts).astype(np.int64)
-        out[out >= SENTINEL] = -1
+        merged = _scatter_groups(n, tuple(blobs), parts)
+        out = np.asarray(merged).astype(np.int64)
+        if remap_sentinel:
+            out[out >= SENTINEL] = -1  # device int32 path: SENTINEL = absent
         return out
+
+    def find_all(self, dh: DeviceHaystack) -> np.ndarray:
+        return self._run_groups(dh, sharded_find_cols, remap_sentinel=True)
 
     def count_all(self, dh: DeviceHaystack) -> np.ndarray:
         """Overlapping occurrence counts (int64[N]) across the sharded
         corpus — one ``psum`` per query batch."""
-        dh = self.inner._layout(dh)
-        n = len(self.inner)
-        pw = dh.windows()  # corpus identity = the packed-window array
-        key = id(pw)
-        hit = self._placed_corpus.get(key)
-        if hit is None or hit[0] is not pw:
-            self._placed_corpus = {
-                key: (pw, self._tables(dh.length))
-            }
-        tabs = self._placed_corpus[key][1]
-        parts = []
-        blobs = []
-        for grp, (v, m, e) in zip(self.inner.groups, tabs):
-            parts.append(sharded_count_cols(dh, v, m, e, self.mesh))
-            blobs.append(grp.indices.tobytes())
-        from ..models.batched import _scatter_groups
-
-        counts = _scatter_groups(n, tuple(blobs), parts)
-        return np.asarray(counts).astype(np.int64)
+        return self._run_groups(dh, sharded_count_cols, remap_sentinel=False)
 
     def search_all(self, dh) -> np.ndarray:
         return self.find_all(dh) >= 0

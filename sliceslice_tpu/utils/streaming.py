@@ -11,15 +11,18 @@ and per-needle minima combine on device.  One host readback at the end (or
 every ``check_every`` windows when early-stop is on and every needle has
 been found).
 
-Global offsets are int32: corpora up to 2 GiB per scan call (shard above
-that — parallel/distributed.py).
+Device math is window-LOCAL int32 (each window is far below 2 GiB); the
+global offset is folded on host in int64, so streams of any length — well
+past the 2 GiB int32 range — report exact first-match offsets (the
+reference is offset-size agnostic via usize, src/lib.rs:253-287).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Iterable, Iterator, Sequence
+from typing import Iterable, Iterator, List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,8 +30,6 @@ from ..models.batched import BatchedSearcher
 from ..ops import scan_kernel
 from ..ops.layout import preprocess
 from ..ops.scan_math import SENTINEL
-
-MAX_STREAM_BYTES = 2**31 - 1
 
 
 def _file_windows(path, window: int, overlap: int) -> Iterator[bytes]:
@@ -82,12 +83,15 @@ class StreamingScanner:
     def _scan(self, windows: Iterator[bytes], early_stop: bool) -> np.ndarray:
         bs = self.batched
         n = len(bs)
-        best = jnp.full((n,), SENTINEL, jnp.int32)
+        # int64 host accumulator: windows arrive in stream order, so a slot
+        # is finalized by the FIRST window whose local scan reports a match.
+        # Device results stay window-local int32 and are folded lazily (no
+        # per-window sync; reads happen at early-stop checks and at the end).
+        best = np.full((n,), -1, dtype=np.int64)
+        pending: List[Tuple[int, jax.Array]] = []
         base = 0
         since_check = 0
         for wbytes in windows:
-            if base + len(wbytes) > MAX_STREAM_BYTES:
-                raise ValueError("stream exceeds int32 offset range (2 GiB)")
             # windows_only: the scan consumes packed windows only, so each
             # window pins ~4 bytes/byte on device instead of ~5.
             dh = preprocess(
@@ -104,9 +108,7 @@ class StreamingScanner:
                 end_local = len(wbytes) - lens + 1 if is_last else np.minimum(
                     self.window, len(wbytes) - lens + 1
                 )
-                end_local = np.maximum(end_local, 0)
-                ends = grp.pad_ends(base + end_local)
-                end_local = grp.pad_ends(end_local)
+                end_local = grp.pad_ends(np.maximum(end_local, 0))
                 if not dh.tiled:
                     from ..ops import xla_backend
 
@@ -114,33 +116,36 @@ class StreamingScanner:
                         dh.flat, grp.values_dev, grp.masks_dev,
                         jnp.asarray(end_local.astype(np.int32)),
                     )
-                    first = jnp.where(
-                        local < SENTINEL, local + base, SENTINEL
-                    )
                 else:
-                    first = scan_kernel.batched_find_cols(
+                    local = scan_kernel.batched_find_cols(
                         None,
                         grp.values_dev,
                         grp.masks_dev,
-                        ends.astype(np.int32),
+                        end_local.astype(np.int32),
                         s=dh.s,
-                        base=base,
                         pw=dh.windows(),
                     )
-                parts.append(first)
+                parts.append(local)
                 blobs.append(grp.indices.tobytes())
             from ..models.batched import _scatter_groups
 
-            window_first = _scatter_groups(n, tuple(blobs), parts)
-            # Needles not present in this window scatter as SENTINEL; padded
-            # slots in groups are filtered by end masking already.
-            best = jnp.minimum(best, window_first)
+            pending.append((base, _scatter_groups(n, tuple(blobs), parts)))
             base += self.window
             since_check += 1
             if early_stop and since_check >= self.check_every:
                 since_check = 0
-                if bool((np.asarray(best) < SENTINEL).all()):
+                self._fold(best, pending)
+                if (best >= 0).all():
                     break
-        out = np.asarray(best).astype(np.int64)
-        out[out >= SENTINEL] = -1
-        return out
+        self._fold(best, pending)
+        return best
+
+    @staticmethod
+    def _fold(best: np.ndarray, pending: List[Tuple[int, jax.Array]]) -> None:
+        """Fold window-local device results into the int64 host accumulator
+        (in stream order, first window with a match wins)."""
+        for wbase, arr in pending:
+            local = np.asarray(arr)
+            upd = (best < 0) & (local < SENTINEL)
+            best[upd] = local[upd].astype(np.int64) + wbase
+        pending.clear()

@@ -78,6 +78,12 @@ def test_sharded_batched_searcher(corpus):
     got = sb.find_all(dh)
     exp = BatchedSearcher(needles).find_all(dh)
     assert (got == exp).all()
+    # The >2 GiB pair path through the searcher (host int64 scatter).
+    sb64 = ShardedBatchedSearcher(needles, mesh)
+    sb64.force_int64 = True
+    got64 = sb64.find_all(dh)
+    assert got64.dtype == np.int64 and (got64 == exp).all()
+    assert (sb64.count_all(dh) == BatchedSearcher(needles).count_all(dh)).all()
 
 
 def test_pad_segments_mesh_bigger_than_corpus():
@@ -109,6 +115,61 @@ def test_initialize_noop():
     from sliceslice_tpu.parallel.distributed import initialize
 
     initialize(num_processes=1)  # must be a no-op
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_find_int64_pair_path(corpus, shape):
+    """The >2 GiB component-pair path (two pmins + int64 host combine)
+    returns the same exact offsets as the int32 device path, including
+    shard-boundary straddles and absences."""
+    mesh = make_mesh(shape)
+    dh = preprocess(corpus, kh=16)
+    seg = dh.seg_bytes
+    rng = np.random.default_rng(23)
+    needles = (
+        [corpus[i : i + k] for k in (3, 8, 13)
+         for i in map(int, rng.integers(0, len(corpus) - k, (2,)))]
+        + [corpus[b * seg - 5 : b * seg + 5] for b in range(1, min(dh.g, 4))]
+        + [b"ZZZZ", corpus[-7:]]
+    )
+    values, masks, ends = _tables(needles, dh.length)
+    got = sharded_find_cols(dh, values, masks, ends, mesh, force_int64=True)
+    assert isinstance(got, np.ndarray) and got.dtype == np.int64
+    for nd, o in zip(needles, got):
+        exp = naive_find(corpus, nd)
+        assert (None if o < 0 else int(o)) == exp, nd
+
+
+def test_sharded_count_int64_pair_path(corpus):
+    """Two-limb psum count path parity with the int32 psum path."""
+    from sliceslice_tpu.needle import build_probe_table
+    from sliceslice_tpu.parallel import sharded_count_cols
+    from sliceslice_tpu.searcher import overlapping_count
+
+    mesh = make_mesh((8, 1))
+    dh = preprocess(corpus, kh=16)
+    needles = [corpus[10:14], b"aab", b"absent!", b"a"]
+    values, masks, lengths = build_probe_table(needles)
+    ends = np.maximum(dh.length - lengths + 1, 0).astype(np.int64)
+    got = sharded_count_cols(
+        dh, values, masks, ends, mesh, force_int64=True
+    )
+    assert isinstance(got, np.ndarray) and got.dtype == np.int64
+    exp = np.array([overlapping_count(corpus, nd) for nd in needles])
+    assert (got == exp).all()
+
+
+def test_int64_combine_math():
+    """The host combine is exact past int32: synthetic (shard, local) pairs
+    at multi-GiB magnitudes."""
+    shard_bytes = 1 << 29  # 512 MiB shards
+    kmin = np.array([0, 9, 100, 2**31 - 1], np.int64)  # last: absent
+    lmin = np.array([5, shard_bytes - 1, 12345, 2**31 - 1], np.int64)
+    out = np.where(kmin < 2**31 - 1, kmin * shard_bytes + lmin, -1)
+    assert out[1] == 9 * shard_bytes + shard_bytes - 1  # ~5 GiB, exact
+    assert out[2] == 100 * shard_bytes + 12345  # ~53 GiB, exact
+    assert out[3] == -1
+    assert out.dtype == np.int64
 
 
 @pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])

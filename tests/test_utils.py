@@ -3,7 +3,6 @@
 import os
 
 import numpy as np
-import pytest
 
 from sliceslice_tpu.utils import Measurement, load_haystack, map_file, measure
 from sliceslice_tpu.utils.profiling import trace
@@ -42,12 +41,17 @@ def test_trace_capture(tmp_path):
     assert found, "trace produced no files"
 
 
-def test_streaming_int32_guard():
-    from sliceslice_tpu.utils.streaming import MAX_STREAM_BYTES, StreamingScanner
+def test_streaming_int64_offsets_past_2gib():
+    """Offsets beyond the int32 range are exact: device math is window-local
+    int32, the global base folds in int64 on host.  Spoof the window stride
+    so the second window sits past 4 GiB without materializing gigabytes."""
+    from sliceslice_tpu.utils.streaming import StreamingScanner
 
-    sc = StreamingScanner([b"abc"], window_bytes=2**20)
-    # Window bases advance by window_bytes; put the second window past the
-    # int32 range without materializing gigabytes.
-    sc.window = MAX_STREAM_BYTES
-    with pytest.raises(ValueError):
-        sc._scan(iter([b"tiny window 1", b"tiny window 2"]), early_stop=False)
+    sc = StreamingScanner([b"needle", b"absent-needle"], window_bytes=2**20)
+    sc.window = 2**32  # window bases advance by this stride
+    got = sc._scan(
+        iter([b"first window, nothing here", b"xxxxxneedle-in-window-two"]),
+        early_stop=False,
+    )
+    assert got[0] == 2**32 + 5
+    assert got[1] == -1
