@@ -7,6 +7,7 @@ from .shard_scan import (
     ShardedBatchedSearcher,
     sharded_count_cols,
     sharded_find_cols,
+    sharded_positions,
 )
 
 __all__ = [
@@ -17,6 +18,7 @@ __all__ = [
     "table_sharding",
     "sharded_find_cols",
     "sharded_count_cols",
+    "sharded_positions",
     "ShardedBatchedSearcher",
     "measure_scaling",
     "format_report",

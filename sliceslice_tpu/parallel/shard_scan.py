@@ -367,6 +367,115 @@ def _to_host(arr) -> np.ndarray:
     return np.asarray(arr)
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_bitmap_call(mesh: Mesh, s: int, n: int, t: int):
+    """Sharded all-occurrence bitmap: the XLA bitmap op under shard_map,
+    corpus segments on the data axis, needle tables replicated (positions
+    are a per-needle host decode, so the needle axis stays unsharded).
+    Ends arrive shard-LOCAL (clipped int32, like the find/count paths)."""
+    from ..ops import xla_backend
+
+    def local_fn(cols_l, vals, msks, ends_l):
+        return xla_backend._match_bitmap_batched_impl(
+            cols_l, vals, msks, ends_l.reshape(-1), s
+        )
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None, None),
+            P(None, None),
+            P(None, None),
+            P(DATA_AXIS, None),
+        ),
+        out_specs=P(None, DATA_AXIS, None, None),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_positions(
+    dh: DeviceHaystack,
+    values: np.ndarray,
+    masks: np.ndarray,
+    ends,
+    mesh: Mesh,
+) -> list:
+    """ALL (overlapping) match offsets per needle over a segment-sharded
+    corpus: int64[M] ascending per needle — the sharded ``find_iter``
+    capability (single-device analogue: ops/xla_backend.match_bitmap_*).
+
+    Each shard evaluates its local packed bitmap with shard-local clipped
+    ends (exactly-once at boundaries: a match belongs to the shard where its
+    first byte lives); decode happens host-side per shard with the shard's
+    int64 global base, so corpora past 2 GiB report exact offsets.  In a
+    multi-process run each process decodes only its addressable shards
+    (callers gather across hosts if a global list is needed)."""
+    if not dh.tiled:
+        raise ValueError("sharded positions require a tiled (cols) layout")
+    from ..ops import xla_backend
+
+    cols = dh.require_cols()
+    g = cols.shape[0]
+    n_data = mesh.shape[DATA_AXIS]
+    g_pad = _round_up(g, n_data)
+    if g_pad != g:
+        cols = jnp.pad(cols, ((0, g_pad - g), (0, 0), (0, 0)))
+    seg = dh.s * LANES
+    shard_bytes = (g_pad // n_data) * seg
+    if shard_bytes > SENTINEL:
+        raise ValueError(
+            f"shard of {shard_bytes} bytes exceeds the int32 device-offset "
+            "range; use more data-axis shards (or smaller segments)"
+        )
+    values = np.asarray(values, np.uint32)
+    masks = np.asarray(masks, np.uint32)
+    values = values & masks
+    n, t = values.shape
+    ends64 = np.asarray(ends, dtype=np.int64)
+    bases = np.arange(n_data, dtype=np.int64) * shard_bytes
+    ends2d = np.clip(
+        ends64[None, :] - bases[:, None], 0, shard_bytes
+    ).astype(np.int32)
+
+    run = _sharded_bitmap_call(mesh, dh.s, n, t)
+    cols = jax.device_put(cols, corpus_sharding(mesh))
+    vals_d = jax.device_put(
+        jnp.asarray(values), NamedSharding(mesh, P(None, None))
+    )
+    msks_d = jax.device_put(
+        jnp.asarray(masks), NamedSharding(mesh, P(None, None))
+    )
+    ends_d = jax.device_put(
+        ends2d, NamedSharding(mesh, P(DATA_AXIS, None))
+    )
+    words = run(cols, vals_d, msks_d, ends_d)  # (n, g_pad, s/32, 128)
+
+    parts: dict[int, list] = {i: [] for i in range(n)}
+    g_local = g_pad // n_data
+    # The needle mesh axis replicates the bitmap: decode each distinct data
+    # shard once (dedupe by its segment-range start).
+    seen: set[int] = set()
+    for shard in sorted(
+        words.addressable_shards, key=lambda sh: sh.index[1].start or 0
+    ):
+        start = shard.index[1].start or 0
+        if start in seen:
+            continue
+        seen.add(start)
+        wi = np.asarray(shard.data)  # (n, g_local, s/32, 128)
+        base = (start // g_local) * shard_bytes
+        for i in range(n):
+            local = xla_backend.decode_match_bitmap(wi[i], dh.s)
+            if local.size:
+                parts[i].append(local + base)
+    return [
+        np.concatenate(parts[i]) if parts[i] else np.empty((0,), np.int64)
+        for i in range(n)
+    ]
+
+
 class ShardedBatchedSearcher:
     """BatchedSearcher over a device mesh: same API, sharded execution.
 
@@ -453,6 +562,31 @@ class ShardedBatchedSearcher:
         """Overlapping occurrence counts (int64[N]) across the sharded
         corpus — one ``psum`` per query batch."""
         return self._run_groups(dh, sharded_count_cols, remap_sentinel=False)
+
+    def positions_all(self, dh: DeviceHaystack, batch: int = 16) -> list:
+        """ALL (overlapping) match offsets per needle (int64[M] ascending,
+        input order) across the sharded corpus — the sharded ``find_iter``
+        capability.  ``batch`` bounds bitmap memory (corpus/8 bytes per
+        needle per sweep, split across the data shards)."""
+        dh = self.inner._layout(dh)
+        out: list = [None] * len(self.inner)
+        for grp in self.inner.groups:
+            vals = np.asarray(grp.values_dev)[: grp.n]
+            msks = np.asarray(grp.masks_dev)[: grp.n]
+            ends = np.maximum(
+                np.int64(dh.length) - grp.lengths.astype(np.int64) + 1, 0
+            )
+            for i0 in range(0, grp.n, batch):
+                res = sharded_positions(
+                    dh,
+                    vals[i0 : i0 + batch],
+                    msks[i0 : i0 + batch],
+                    ends[i0 : i0 + batch],
+                    self.mesh,
+                )
+                for j, r in enumerate(res):
+                    out[grp.indices[i0 + j]] = r
+        return out
 
     def search_all(self, dh) -> np.ndarray:
         return self.find_all(dh) >= 0

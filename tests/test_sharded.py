@@ -159,6 +159,45 @@ def test_sharded_count_int64_pair_path(corpus):
     assert (got == exp).all()
 
 
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_positions_matches_oracle(corpus, shape):
+    """Sharded all-occurrence positions: per-shard bitmap + host decode with
+    int64 global bases; exactly-once at shard boundaries."""
+    from sliceslice_tpu.searcher import _host_positions
+
+    mesh = make_mesh(shape)
+    dh = preprocess(corpus, kh=16)
+    seg = dh.seg_bytes
+    needles = [
+        corpus[100:104],          # frequent 4-byte
+        b"aab",                   # very frequent 3-byte
+        b"absent!",               # none
+        corpus[seg - 3 : seg + 3],  # straddles shard boundary
+        corpus[-6:],              # at the very end
+    ]
+    sb = ShardedBatchedSearcher(needles, mesh)
+    got = sb.positions_all(dh)
+    for nd, g in zip(needles, got):
+        exp = _host_positions(corpus, nd)
+        assert g.dtype == np.int64
+        assert np.array_equal(g, exp), nd
+
+
+def test_sharded_positions_function_level(corpus):
+    """Direct sharded_positions call (homogeneous table, 8 data shards)."""
+    from sliceslice_tpu.parallel import sharded_positions
+    from sliceslice_tpu.searcher import _host_positions
+
+    mesh = make_mesh((8, 1))
+    dh = preprocess(corpus, kh=16)
+    needles = [corpus[5:9], corpus[77:81], b"zzzz"]
+    values, masks, lengths = build_probe_table(needles)
+    ends = np.maximum(dh.length - lengths.astype(np.int64) + 1, 0)
+    got = sharded_positions(dh, values, masks, ends, mesh)
+    for nd, g in zip(needles, got):
+        assert np.array_equal(g, _host_positions(corpus, nd)), nd
+
+
 def test_int64_combine_math():
     """The host combine is exact past int32: synthetic (shard, local) pairs
     at multi-GiB magnitudes."""
