@@ -100,16 +100,29 @@ class _Group:
 class BatchedSearcher:
     def __init__(self, needles: Sequence, position: Optional[int] = None):
         self.needles = [as_bytes(n) for n in needles]
-        self.max_len = max((len(n) for n in self.needles), default=0)
-        if self.max_len > MAX_NEEDLE_LEN:
-            raise ValueError(f"needle longer than MAX_NEEDLE_LEN={MAX_NEEDLE_LEN}")
+        # Needles beyond the kernels' probe-table budget take the
+        # filter+verify fallback (models/huge.py) — arbitrary-length parity
+        # with the reference (src/lib.rs:52-59).  They are excluded from the
+        # kernel groups (and from max_len, which sizes layout halos).
+        self._huge: List[tuple[int, object]] = []
+        kernel_idx = []
+        for i, nd in enumerate(self.needles):
+            if len(nd) > MAX_NEEDLE_LEN:
+                from .huge import HugeNeedleSearcher
+
+                self._huge.append((i, HugeNeedleSearcher(nd, position)))
+            else:
+                kernel_idx.append(i)
+        self.max_len = max(
+            (len(self.needles[i]) for i in kernel_idx), default=0
+        )
         # Group by width only: splitting further (e.g. by k % 4 == 0 to run
         # mask-free "last_full" kernels) measured NET SLOWER on the i386
         # sweep — the per-(block, segment) fixed cost of extra groups
         # (window rebuilds, flag reductions) exceeds the two saved passes.
         buckets: dict[tuple[int, bool], list[int]] = {}
-        for i, nd in enumerate(self.needles):
-            t = _t_bucket(max(1, num_probes(len(nd))))
+        for i in kernel_idx:
+            t = _t_bucket(max(1, num_probes(len(self.needles[i]))))
             buckets.setdefault((t, False), []).append(i)
         self.groups = [
             _Group(
@@ -190,8 +203,15 @@ class BatchedSearcher:
         self._sweep_cache[key] = sweep
         return sweep
 
-    def count_all_device(self, hay: HaystackLike):
-        """Device-resident int32[N] overlapping-occurrence counts."""
+    def count_all_device(self, hay: HaystackLike, _allow_huge: bool = False):
+        """Device-resident int32[N] overlapping-occurrence counts (excludes
+        huge needles — their verify step is host-side; use ``count_all``)."""
+        if self._huge and not _allow_huge:
+            raise ValueError(
+                "count_all_device cannot evaluate needles longer than "
+                f"MAX_NEEDLE_LEN={MAX_NEEDLE_LEN} (host verify step); "
+                "use count_all"
+            )
         dh = self._layout(hay)
         if not dh.tiled:
             raise ValueError(
@@ -221,7 +241,15 @@ class BatchedSearcher:
                 [overlapping_count(data, nd) for nd in self.needles],
                 dtype=np.int64,
             )
-        return np.asarray(self.count_all_device(dh)).astype(np.int64)
+        if self.groups:
+            out = np.asarray(
+                self.count_all_device(dh, _allow_huge=True)
+            ).astype(np.int64)
+        else:
+            out = np.zeros((len(self.needles),), np.int64)
+        for i, hs in self._huge:
+            out[i] = hs.count_in(dh)
+        return out
 
     def _layout(self, hay: HaystackLike) -> DeviceHaystack:
         # Halo must cover the widest group's probe table.
@@ -243,17 +271,38 @@ class BatchedSearcher:
         if early_exit:
             dh = self._layout(hay)
             if dh.tiled and dh.g > 1:
-                return self._find_early_exit(dh, first_chunk_segments)
+                return self._fill_huge(
+                    self._find_early_exit(dh, first_chunk_segments), dh
+                )
             hay = dh
-        firsts = self.find_all_device(hay)
-        out = np.asarray(firsts).astype(np.int64)  # single device->host read
-        out[out >= SENTINEL] = -1
+        if self.groups:
+            firsts = self.find_all_device(hay, _allow_huge=True)
+            out = np.asarray(firsts).astype(np.int64)  # one device->host read
+            out[out >= SENTINEL] = -1
+        else:
+            out = np.full((n,), -1, np.int64)
+        return self._fill_huge(out, hay)
+
+    def _fill_huge(self, out: np.ndarray, hay: HaystackLike) -> np.ndarray:
+        """Overwrite huge-needle slots (filter+verify path, models/huge.py);
+        kernel sweeps leave them unspecified."""
+        for i, hs in self._huge:
+            f = hs.find(hay)
+            out[i] = -1 if f is None else f
         return out
 
-    def find_all_device(self, hay: HaystackLike):
+    def find_all_device(self, hay: HaystackLike, _allow_huge: bool = False):
         """Device-resident variant: int32[N] first offsets (SENTINEL where
         absent), no host transfer.  The building block for pipelined
-        throughput (keep results on device, sync once per batch of queries)."""
+        throughput (keep results on device, sync once per batch of queries).
+        Excludes huge needles (their verify step is host-side — use
+        ``find_all``)."""
+        if self._huge and not _allow_huge:
+            raise ValueError(
+                "find_all_device cannot evaluate needles longer than "
+                f"MAX_NEEDLE_LEN={MAX_NEEDLE_LEN} (host verify step); "
+                "use find_all"
+            )
         n = len(self.needles)
         dh = self._layout(hay)
         if not dh.tiled:
@@ -316,6 +365,8 @@ class BatchedSearcher:
                     out[g.indices[i0 + j]] = xla_backend.decode_match_bitmap(
                         words[j], dh.s
                     )
+        for i, hs in self._huge:
+            out[i] = hs.positions(dh)
         return out  # type: ignore[return-value]
 
     def _find_early_exit(

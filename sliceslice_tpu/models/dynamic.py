@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from ..needle import NeedleLike, as_bytes
+from ..needle import MAX_NEEDLE_LEN, NeedleLike, as_bytes
 from ..ops.layout import DeviceHaystack
 from ..searcher import EmptyNeedleSearcher, HaystackLike, _hay_bytes
 from .memchr import MemchrSearcher
@@ -32,6 +32,9 @@ HOST_HAY_BYTES = 4096
 class DynamicSearcher:
     def __init__(self, needle: NeedleLike, position: Optional[int] = None):
         data = as_bytes(needle)
+        #: full needle bytes — for huge needles ``_inner.needle.data`` holds
+        #: only the device-filter prefix, so host rungs read this instead.
+        self._data = data
         k = len(data)
         if k == 0:
             if position not in (None, 0):
@@ -39,6 +42,12 @@ class DynamicSearcher:
             self._inner = EmptyNeedleSearcher()
         elif k == 1:
             self._inner = MemchrSearcher(data, position)
+        elif k > MAX_NEEDLE_LEN:
+            # Arbitrary-length parity with the reference (src/lib.rs:52-59):
+            # device prefix filter + host verify (models/huge.py).
+            from .huge import HugeNeedleSearcher
+
+            self._inner = HugeNeedleSearcher(data, position)
         else:
             self._inner = searcher_for_size(k)(data, position)
 
@@ -78,7 +87,7 @@ class DynamicSearcher:
             if len(data) <= HOST_HAY_BYTES:
                 from ..searcher import overlapping_count
 
-                return overlapping_count(data, self._inner.needle.data)
+                return overlapping_count(data, self._data)
         return self._inner.count_in(hay)
 
     def positions(self, hay: HaystackLike):
@@ -89,7 +98,7 @@ class DynamicSearcher:
             if len(data) <= HOST_HAY_BYTES:
                 from ..searcher import _host_positions
 
-                return _host_positions(data, self._inner.needle.data)
+                return _host_positions(data, self._data)
         return self._inner.positions(hay)
 
     def find_iter(self, hay: HaystackLike):
@@ -99,10 +108,8 @@ class DynamicSearcher:
         from ..utils import native
 
         if native.available():
-            return native.swar_find(
-                data, self._inner.needle.data, self._inner.position
-            )
-        return naive_find(data, self._inner.needle.data)
+            return native.swar_find(data, self._data, self._inner.position)
+        return naive_find(data, self._data)
 
     def __repr__(self):
         return f"DynamicSearcher({self._inner!r})"

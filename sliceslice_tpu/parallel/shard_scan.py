@@ -488,6 +488,15 @@ class ShardedBatchedSearcher:
         from ..models.batched import BatchedSearcher
 
         self.inner = BatchedSearcher(needles, position)
+        if self.inner._huge:
+            # The huge-needle fallback verifies against host bytes, which a
+            # sharded (possibly multi-host) corpus deliberately never
+            # assembles in one place.
+            raise ValueError(
+                "ShardedBatchedSearcher does not support needles longer "
+                "than MAX_NEEDLE_LEN; scan them per shard with "
+                "BatchedSearcher"
+            )
         self.mesh = mesh
         #: test hook: force the >2 GiB component-pair path on any corpus.
         self.force_int64 = False

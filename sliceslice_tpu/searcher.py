@@ -157,7 +157,7 @@ class SearcherBase:
                         "bytes (preprocess with keep_host=True)"
                     )
                 return _host_positions(data, self.needle.data)
-            dh = hay
+            dh = hay.ensure_kh(k)  # probe slots must fit the layout halo
         else:
             data = _hay_bytes(hay)
             if len(data) <= SHORT_HAY_BYTES:

@@ -62,6 +62,15 @@ class StreamingScanner:
         check_every: int = 4,
     ):
         self.batched = BatchedSearcher(needles)
+        if self.batched._huge:
+            # The huge-needle fallback verifies against retained host bytes;
+            # streamed windows keep none (and a >2 KiB needle would demand a
+            # same-sized window overlap).  Scan such needles over a
+            # preprocessed DeviceHaystack instead.
+            raise ValueError(
+                "StreamingScanner does not support needles longer than "
+                "MAX_NEEDLE_LEN; use BatchedSearcher on a preprocessed corpus"
+            )
         self.window = window_bytes
         self.overlap = max(self.batched.max_len - 1, 0)
         self.check_every = check_every

@@ -1,0 +1,119 @@
+"""Huge needles (k > MAX_NEEDLE_LEN): the exact filter+verify fallback —
+arbitrary-length parity with the reference (src/lib.rs:52-59), plus the
+2048/2049 boundary and the fences on streaming/sharded layers."""
+
+import numpy as np
+import pytest
+
+from sliceslice_tpu import BatchedSearcher, DynamicSearcher, preprocess
+from sliceslice_tpu.needle import MAX_NEEDLE_LEN
+from sliceslice_tpu.searcher import _host_positions, overlapping_count
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(99)
+    data = bytearray(rng.integers(97, 110, (400_000,), dtype=np.uint8))
+    return bytes(data)
+
+
+def test_boundary_2048_2049(corpus):
+    """k = MAX exactly rides the kernels; k = MAX+1 rides the fallback —
+    identical answers either side of the boundary."""
+    for k in (MAX_NEEDLE_LEN, MAX_NEEDLE_LEN + 1):
+        nd = corpus[123_456 : 123_456 + k]
+        s = DynamicSearcher(nd)
+        assert s.find(corpus) == corpus.find(nd) == 123_456
+        assert s.count_in(corpus) == overlapping_count(corpus, nd)
+    assert DynamicSearcher(b"q" * (MAX_NEEDLE_LEN + 7)).find(corpus) is None
+
+
+def test_huge_find_count_positions(corpus):
+    k = 3_000
+    nd = corpus[50_000 : 50_000 + k]
+    s = DynamicSearcher(nd)
+    dh = preprocess(corpus)
+    assert s.find(dh) == 50_000
+    assert s.search_in(dh)
+    assert s.count_in(dh) == overlapping_count(corpus, nd)
+    assert np.array_equal(s.positions(dh), _host_positions(corpus, nd))
+
+
+def test_huge_overlapping_periodic():
+    """Overlapping occurrences of a periodic huge needle count exactly."""
+    nd = b"ab" * 1_600  # 3200 bytes
+    hay = b"xx" + b"ab" * 1_610 + b"yy"
+    s = DynamicSearcher(nd)
+    assert s.find(hay) == 2
+    assert s.count_in(hay) == overlapping_count(hay, nd)
+    assert np.array_equal(s.positions(hay), _host_positions(hay, nd))
+
+
+def test_huge_adversarial_prefix_repeats(corpus):
+    """Many candidates sharing the 64-byte filter prefix but differing
+    tails: verify rejects every false candidate."""
+    block = corpus[1_000 : 1_064]  # the shared 64-byte prefix
+    decoys = b"".join(block + bytes([i]) * 3_000 for i in range(5))
+    nd = block + b"\xffTRUE" + bytes(3_000)
+    hay = decoys + nd + decoys
+    s = DynamicSearcher(nd)
+    assert s.find(hay) == hay.find(nd) == len(decoys)
+    assert s.count_in(hay) == 1
+
+
+def test_huge_needle_longer_than_haystack():
+    nd = b"z" * 4_000
+    assert DynamicSearcher(nd).find(b"z" * 3_999) is None
+    assert DynamicSearcher(nd).find(b"z" * 4_000) == 0
+
+
+def test_batched_mixed_normal_and_huge(corpus):
+    k = 2_500
+    needles = [
+        corpus[10:14],                    # kernel path
+        corpus[77_000 : 77_000 + k],      # huge, present
+        b"q" * k,                         # huge, absent
+        b"absent!",                       # kernel path, absent
+        corpus[-5:],
+    ]
+    bs = BatchedSearcher(needles)
+    dh = preprocess(corpus)
+    got = bs.find_all(dh)
+    exp = [corpus.find(nd) for nd in needles]
+    assert list(got) == exp
+    cnt = bs.count_all(dh)
+    assert list(cnt) == [overlapping_count(corpus, nd) for nd in needles]
+    pos = bs.positions_all(dh)
+    for nd, p in zip(needles, pos):
+        assert np.array_equal(p, _host_positions(corpus, nd)), nd
+    assert list(bs.search_all(dh)) == [e >= 0 for e in exp]
+
+
+def test_batched_all_huge(corpus):
+    needles = [corpus[5_000 : 5_000 + 2_100], b"w" * 2_200]
+    bs = BatchedSearcher(needles)
+    got = bs.find_all(corpus)
+    assert list(got) == [5_000, -1]
+
+
+def test_device_resident_variants_fence(corpus):
+    bs = BatchedSearcher([corpus[:4], corpus[: MAX_NEEDLE_LEN + 1]])
+    dh = preprocess(corpus)
+    with pytest.raises(ValueError, match="MAX_NEEDLE_LEN"):
+        bs.find_all_device(dh)
+    with pytest.raises(ValueError, match="MAX_NEEDLE_LEN"):
+        bs.count_all_device(dh)
+
+
+def test_streaming_and_sharded_fences(corpus):
+    import jax
+
+    from sliceslice_tpu.parallel import ShardedBatchedSearcher, make_mesh
+    from sliceslice_tpu.utils.streaming import StreamingScanner
+
+    huge = [corpus[: MAX_NEEDLE_LEN + 1]]
+    with pytest.raises(ValueError, match="MAX_NEEDLE_LEN"):
+        StreamingScanner(huge)
+    if len(jax.devices()) >= 2:
+        with pytest.raises(ValueError, match="MAX_NEEDLE_LEN"):
+            ShardedBatchedSearcher(huge, make_mesh((2, 1), jax.devices()[:2]))
