@@ -12,10 +12,13 @@ probe count — no wasted probe slots, no in-kernel branching.  Group results
 are re-scattered to input order on device and fetched with a single
 device-to-host read (readback latency dwarfs any single kernel here).
 
-``find_all(..., early_exit=True)`` restores the economics of the reference's
-first-match early exit (src/lib.rs:242-244) at the scheduling layer: segments
-are scanned in growing chunks and needles drop out of the batch once found —
-a host-side loop, since a jitted grid cannot break.
+The reference's first-match early exit (src/lib.rs:242-244) lives INSIDE the
+kernel here: the segment walk is an in-kernel while_loop over a compacted
+list of still-unfound needles (ops/scan_kernel.py), so a retired needle
+block stops issuing DMA or vector work entirely.  A host-side scheduling
+loop that re-sliced tables per round was measured 23x slower than the fused
+sweep (904 ms vs 39 ms median on the i386 word sweep, r2) and was removed —
+see docs/DESIGN.md.
 """
 
 from __future__ import annotations
@@ -258,23 +261,13 @@ class BatchedSearcher:
             return hay.ensure_halo(need)
         return preprocess(_hay_bytes(hay), kh=need)
 
-    def find_all(
-        self,
-        hay: HaystackLike,
-        early_exit: bool = False,
-        first_chunk_segments: int = 1,
-    ) -> np.ndarray:
-        """First-match offset per needle; -1 where absent."""
+    def find_all(self, hay: HaystackLike) -> np.ndarray:
+        """First-match offset per needle; -1 where absent.  Early-exit
+        economics are in-kernel (compacted unfound list + total segment-walk
+        exit, ops/scan_kernel.py) — no scheduling knobs needed."""
         n = len(self.needles)
         if n == 0:
             return np.zeros((0,), np.int64)
-        if early_exit:
-            dh = self._layout(hay)
-            if dh.tiled and dh.g > 1:
-                return self._fill_huge(
-                    self._find_early_exit(dh, first_chunk_segments), dh
-                )
-            hay = dh
         if self.groups:
             firsts = self.find_all_device(hay, _allow_huge=True)
             out = np.asarray(firsts).astype(np.int64)  # one device->host read
@@ -368,48 +361,6 @@ class BatchedSearcher:
         for i, hs in self._huge:
             out[i] = hs.positions(dh)
         return out  # type: ignore[return-value]
-
-    def _find_early_exit(
-        self, dh: DeviceHaystack, first_chunk: int
-    ) -> np.ndarray:
-        seg = dh.seg_bytes
-        n = len(self.needles)
-        firsts = np.full((n,), -1, dtype=np.int64)
-        # Per-group remaining sets; scan segment chunks of doubling size.
-        remaining = {id(g): np.arange(len(g.indices)) for g in self.groups}
-        g0 = 0
-        chunk = max(1, first_chunk)
-        while g0 < dh.g and any(r.size for r in remaining.values()):
-            g_pad = 1
-            while g_pad < min(chunk, dh.g - g0):
-                g_pad *= 2
-            g1 = min(dh.g, g0 + g_pad)
-            for grp in self.groups:
-                rem = remaining[id(grp)]
-                if not rem.size:
-                    continue
-                vals = np.asarray(grp.values_dev)[rem]
-                msks = np.asarray(grp.masks_dev)[rem]
-                ends = np.maximum(dh.length - grp.lengths[rem] + 1, 0)
-                sub = np.asarray(
-                    scan_kernel.batched_find_cols(
-                        None,
-                        vals,
-                        msks,
-                        ends.astype(np.int32),
-                        s=dh.s,
-                        base=g0 * seg,
-                        pen_full=grp.t <= scan_kernel.PROBE_UNROLL,
-                        last_full=grp.last_full,
-                        pw=dh.windows()[g0:g1],
-                    )
-                )
-                found = sub < SENTINEL
-                firsts[grp.indices[rem[found]]] = sub[found]
-                remaining[id(grp)] = rem[~found]
-            g0 = g1
-            chunk *= 2
-        return firsts
 
 
 @functools.lru_cache(maxsize=64)

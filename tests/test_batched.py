@@ -61,7 +61,10 @@ def test_needle_longer_than_haystack(rng):
     assert got[0] == -1 and got[1] == 0
 
 
-def test_early_exit_parity(rng):
+def test_find_all_multiseg_parity(rng):
+    # Early-exit economics are in-kernel now (compacted unfound list); this
+    # pins the multi-segment sweep's exactness on the shapes the removed
+    # host-loop API used to cover.
     hay = bytes(rng.integers(97, 101, (1_200_000,), dtype=np.uint8))
     dh = preprocess(hay, kh=16)
     assert dh.g >= 2
@@ -70,8 +73,6 @@ def test_early_exit_parity(rng):
     needles += [b"XYZ!", b"\x00\x01\x02"]
     bs = BatchedSearcher(needles)
     full = bs.find_all(dh)
-    fast = bs.find_all(dh, early_exit=True)
-    assert (full == fast).all()
     assert (full == oracle_all(hay, needles)).all()
 
 
