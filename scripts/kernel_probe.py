@@ -1,0 +1,206 @@
+"""Kernel cost-isolation experiments (dev tool, TPU).
+
+A stripped copy of the find kernel's fullscan path (blocks-only grid,
+in-kernel segment fori, double-buffered DMA, hoisted windows) with ablation
+knobs, to locate the ~109 ns/(needle, segment) floor that makes t=1 and
+t=2 fullscans cost the same:
+
+  full     — probes + select + min-reduce + out update (the real math)
+  premask  — like full, but the final slot compares against per-segment
+             premasked window copies (4 mask classes in VMEM scratch,
+             dynamic class index per needle) — drops the per-needle AND
+  nomin    — probes only, OR-accumulate into out (drops first-offset math)
+  noprobe  — select+min on a constant mask (drops probe compares)
+  empty    — needle loop with only the out_ref update (scalar floor)
+
+Usage: python scripts/kernel_probe.py [variant ...]
+"""
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import sliceslice_tpu as st
+from sliceslice_tpu.ops.scan_kernel import (
+    LANES,
+    NO_ROW,
+    SENTINEL,
+    _seg_dma_factory,
+)
+
+NBLK = 256
+
+
+@functools.lru_cache(maxsize=32)
+def build(g, h, s, t, n_pad, variant):
+    cs = s
+
+    def kernel(val_ref, msk_ref, pw_hbm, out_ref, pbuf, p4buf, sem, pm_scr):
+        seg_dma = _seg_dma_factory(pw_hbm, pbuf, p4buf, sem, h)
+        for c in seg_dma(0, 0):
+            c.start()
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 0)
+
+        def scan_segment(gi, carry):
+            slot = jax.lax.rem(gi, 2)
+
+            @pl.when(gi + 1 < g)
+            def _():
+                for c in seg_dma(gi + 1, jax.lax.rem(gi + 1, 2)):
+                    c.start()
+
+            for c in seg_dma(gi, slot):
+                c.wait()
+            # hoisted windows (single chunk, t<=4)
+            wins = []
+            for ti in range(t):
+                src = pbuf if ti % 2 == 0 else p4buf
+                off = pl.multiple_of(4 * (ti - ti % 2), 8)
+                wins.append(src[slot, pl.ds(off, cs), :])
+            if variant == "premask":
+                # One premasked copy of the final-slot window per mask
+                # class, built once per (block, segment) — the per-needle
+                # masked compare then drops its AND.
+                pm_scr[0] = wins[t - 1] & jnp.uint32(0xFF)
+                pm_scr[1] = wins[t - 1] & jnp.uint32(0xFFFF)
+                pm_scr[2] = wins[t - 1] & jnp.uint32(0xFFFFFF)
+                pm_scr[3] = wins[t - 1]
+
+            def scan_one(n):
+                if variant == "empty":
+                    out_ref[n, :] = jnp.minimum(
+                        out_ref[n, :], jnp.int32(SENTINEL)
+                    )
+                    return
+                if variant != "noprobe":
+                    acc = None
+                    for ti in range(t):
+                        v = val_ref[n, ti]
+                        if ti == t - 1 and variant == "premask":
+                            m = msk_ref[n, ti]
+                            cls = (
+                                jnp.int32(0)
+                                + (m > 0xFF).astype(jnp.int32)
+                                + (m > 0xFFFF).astype(jnp.int32)
+                                + (m > 0xFFFFFF).astype(jnp.int32)
+                            )
+                            eq = pm_scr[cls] == v
+                        elif ti == t - 1:
+                            eq = (wins[ti] & msk_ref[n, ti]) == v
+                        else:
+                            eq = wins[ti] == v
+                        acc = eq if acc is None else jnp.logical_and(acc, eq)
+                else:
+                    acc = wins[0] == jnp.uint32(0xFFFFFFFF)
+                if variant == "nomin":
+                    found = jnp.max(acc.astype(jnp.int32), axis=0,
+                                    keepdims=True)
+                    fin = jnp.minimum(
+                        out_ref[n, :].reshape(1, LANES),
+                        jnp.where(found > 0, gi, SENTINEL),
+                    )
+                    out_ref[n, :] = fin.reshape(LANES)
+                    return
+                lmin = jnp.min(
+                    jnp.where(acc, row_iota, NO_ROW), axis=0, keepdims=True
+                )
+                gmin = jnp.where(lmin < NO_ROW, lmin + gi, SENTINEL)
+                fin = jnp.minimum(out_ref[n, :].reshape(1, LANES), gmin)
+                out_ref[n, :] = fin.reshape(LANES)
+
+            def quad(i, c):
+                scan_one(4 * i)
+                scan_one(4 * i + 1)
+                scan_one(4 * i + 2)
+                scan_one(4 * i + 3)
+                return c
+
+            jax.lax.fori_loop(0, NBLK // 4, quad, 0)
+            return carry
+
+        out_ref[:] = jnp.full((NBLK, LANES), SENTINEL, jnp.int32)
+        jax.lax.fori_loop(0, g, scan_segment, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad // NBLK,),
+        in_specs=[
+            pl.BlockSpec((NBLK, t), lambda nb: (nb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((NBLK, t), lambda nb: (nb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (NBLK, LANES), lambda nb: (nb, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2, h - 3, LANES), jnp.uint32),
+            pltpu.VMEM((2, h - 7, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((4, cs, LANES), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+def main():
+    variants = sys.argv[1:] or ["full", "nomin", "noprobe", "empty"]
+    hay = open("data/i386.txt", "rb").read()
+    dh = st.preprocess(hay, kh=24)
+    pw = dh.windows()
+    g, rows, _ = pw.shape
+    h = rows + 3
+    t = 2
+    n = 4585
+    n_pad = -(-n // NBLK) * NBLK
+    rng = np.random.default_rng(0)
+    values = rng.integers(1, 7, (n_pad, t), dtype=np.uint32).astype(np.uint32)
+    masks = np.full((n_pad, t), 0xFFFFFFFF, np.uint32)
+    # Mixed mask classes on the final slot (k % 4 = 1, 2, 3, 0).
+    classes = np.array([0xFF, 0xFFFF, 0xFFFFFF, 0xFFFFFFFF], np.uint32)
+    masks[:, t - 1] = classes[np.arange(n_pad) % 4]
+    values = (values & masks).astype(np.uint32)
+    # Plant a few real needles so correctness is observable.
+    import struct
+    for row, off in ((0, 100_000), (201, 40_000), (255, 700_000), (4000, 856_000)):
+        nd = hay[off : off + 8]
+        v0 = struct.unpack("<I", nd[:4])[0]
+        v1 = struct.unpack("<I", nd[4:8])[0]
+        values[row] = (v0, v1 & masks[row, 1])
+    vals_d = jnp.asarray(values)
+    msks_d = jnp.asarray(masks)
+    K = 32
+    ref_out = None
+    for variant in variants:
+        call = build(g, h, dh.s, t, n_pad, variant)
+        out = np.asarray(call(vals_d, msks_d, pw))  # compile+warm
+        if variant == "full":
+            ref_out = out
+        elif variant == "premask" and ref_out is not None:
+            print("premask == full:", (out == ref_out).all())
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            for _ in range(K - 1):
+                call(vals_d, msks_d, pw)
+            call(vals_d, msks_d, pw).block_until_ready()
+            ts.append((time.perf_counter() - t0) / K)
+        per = min(ts)
+        print(f"{variant:8s}: {per * 1e3:7.3f} ms/sweep  "
+              f"{per * 1e9 / (n * g):6.1f} ns/(needle,seg)")
+
+
+if __name__ == "__main__":
+    main()

@@ -134,6 +134,36 @@ def _windows_factory(pbuf, p4buf, slot, row0, cs, hoisted):
     return windows
 
 
+#: Final-slot mask classes for the premasked-window path: index = number of
+#: mask thresholds exceeded (0 = mask 0 "always true" for padded rows /
+#: merged width-(t-1) needles, 4 = full mask).
+PM_CLASSES = (0, 0xFF, 0xFFFF, 0xFFFFFF, 0xFFFFFFFF)
+
+
+def _premask_fill(pm_scr, w_last):
+    """Write the five premasked copies of the final-slot windows — once per
+    (block, segment), amortized over every needle in the block.  The
+    per-needle masked compare then drops its AND: measured 6.90 -> 5.67 ms
+    on the t=2 never-match fullscan (scripts/kernel_probe.py), the one
+    remaining removable vector op at the 4-issue ALU bound."""
+    pm_scr[0] = jnp.zeros_like(w_last)
+    pm_scr[1] = w_last & jnp.uint32(0xFF)
+    pm_scr[2] = w_last & jnp.uint32(0xFFFF)
+    pm_scr[3] = w_last & jnp.uint32(0xFFFFFF)
+    pm_scr[4] = w_last
+
+
+def _premask_class(m):
+    """Scalar class index of mask ``m`` (a handful of scalar ops replacing a
+    full (cs, LANES) vector AND per needle)."""
+    return (
+        (m > 0).astype(jnp.int32)
+        + (m > 0xFF).astype(jnp.int32)
+        + (m > 0xFFFF).astype(jnp.int32)
+        + (m > 0xFFFFFF).astype(jnp.int32)
+    )
+
+
 def _probe_row(val_ref, msk_ref, n, t, pen_full, last_full):
     """Per-needle scalar table reads for the unrolled path: (vals, masked)
     where masked lists the (slot, mask) pairs that compare with a mask.
@@ -152,20 +182,26 @@ def _probe_row(val_ref, msk_ref, n, t, pen_full, last_full):
     return vals, masked
 
 
-def _unrolled_acc(windows, vals, masked, t):
+def _unrolled_acc(windows, vals, masked, t, last_eq=None):
     """Straight-line unrolled probes — no per-slot branches (scf.cond with
     vector results forces register spills); mixed-length batches are split
     into width groups by the callers.  Masked slots compare as the 2-op
     (w & m) == v — table values are pre-masked (needle.build_probe_table),
     so the 3-op xor-form is never needed.  Slot order: full slots ascending,
-    then the masked tail slots (they are always the last ones)."""
+    then the masked tail slots (they are always the last ones).
+
+    ``last_eq``: prebuilt equality vector for the final slot (the premasked
+    -window path, _premask_fill) — slot t-1 is then skipped here."""
     masked_d = dict(masked)
     acc = None
-    for ti in range(t):
+    top = t - 1 if last_eq is not None else t
+    for ti in range(top):
         m = masked_d.get(ti)
         w = windows(ti)
         eq = ((w & m) == vals[ti]) if m is not None else (w == vals[ti])
         acc = eq if acc is None else jnp.logical_and(acc, eq)
+    if last_eq is not None:
+        acc = last_eq if acc is None else jnp.logical_and(acc, last_eq)
     return acc
 
 
@@ -249,11 +285,18 @@ def _raw_batched_call(
         n_real = n_pad
     seg = s * LANES
     cs, n_chunks, unrolled = _chunk_plan(s, t)
+    # Premasked final-slot windows: only the last slot carries a mask in
+    # pen_full (exact-width) tables, and with a single chunk the five
+    # premasked copies amortize over the whole block (2.5 MiB VMEM at
+    # cs=1024).  Saves the per-(needle, chunk) mask AND — ~1.2x on the
+    # never-match fullscan.
+    premask = unrolled and n_chunks == 1 and pen_full and not last_full
 
     def kernel(
         val_ref, msk_ref, base_ref, row0_ref, pw_hbm, out_ref,
-        pbuf, p4buf, sem, flags_scr, ulist_scr,
+        pbuf, p4buf, sem, flags_scr, ulist_scr, *pm_extra,
     ):
+        pm_scr = pm_extra[0] if premask else None
         nbi = pl.program_id(0)
 
         # ulist_scr[0:remaining] holds the indices of still-unfound needles:
@@ -308,12 +351,25 @@ def _raw_batched_call(
             hoisted = _hoist_windows(
                 pbuf, p4buf, slot, cs, t, unrolled, n_chunks
             )
+            if premask:
+                if hoisted is not None:
+                    w_last = hoisted[t - 1]
+                else:
+                    src = pbuf if (t - 1) % 2 == 0 else p4buf
+                    off = pl.multiple_of(4 * ((t - 1) - (t - 1) % 2), 8)
+                    w_last = src[slot, pl.ds(off, cs), :]
+                _premask_fill(pm_scr, w_last)
 
             def _scan_one(n):
                 if unrolled:
                     vals, masked = _probe_row(
                         val_ref, msk_ref, n, t, pen_full, last_full
                     )
+                last_eq = None
+                if premask:
+                    cls = _premask_class(msk_ref[n, t - 1])
+                    last_eq = pm_scr[cls] == vals[t - 1]
+                    masked = ()
 
                 def chunk_body(ci, mins):
                     row0 = pl.multiple_of(ci * cs, cs)
@@ -321,7 +377,7 @@ def _raw_batched_call(
                         windows = _windows_factory(
                             pbuf, p4buf, slot, row0, cs, hoisted
                         )
-                        acc = _unrolled_acc(windows, vals, masked, t)
+                        acc = _unrolled_acc(windows, vals, masked, t, last_eq)
                     else:
                         acc = _pair_loop_acc(
                             pbuf, p4buf, slot, row0, cs,
@@ -465,7 +521,7 @@ def _raw_batched_call(
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.VMEM((nblk, 1), jnp.int32),
             pltpu.SMEM((nblk,), jnp.int32),
-        ],
+        ] + ([pltpu.VMEM((5, cs, LANES), jnp.uint32)] if premask else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -735,11 +791,14 @@ def _raw_count_call(
         n_real = n_pad
     seg = s * LANES
     cs, n_chunks, unrolled = _chunk_plan(s, t)
+    # Same premasked final-slot window amortization as the find kernel.
+    premask = unrolled and n_chunks == 1 and pen_full and not last_full
 
     def kernel(
         val_ref, msk_ref, end_ref, base_ref, row0_ref, pw_hbm, out_ref,
-        pbuf, p4buf, sem,
+        pbuf, p4buf, sem, *pm_extra,
     ):
+        pm_scr = pm_extra[0] if premask else None
         nbi = pl.program_id(0)
         start = row0_ref[0] + nbi * nblk
         cnt = jnp.clip(n_real - start, 0, nblk)
@@ -763,12 +822,25 @@ def _raw_count_call(
             hoisted = _hoist_windows(
                 pbuf, p4buf, slot, cs, t, unrolled, n_chunks
             )
+            if premask:
+                if hoisted is not None:
+                    w_last = hoisted[t - 1]
+                else:
+                    src = pbuf if (t - 1) % 2 == 0 else p4buf
+                    off = pl.multiple_of(4 * ((t - 1) - (t - 1) % 2), 8)
+                    w_last = src[slot, pl.ds(off, cs), :]
+                _premask_fill(pm_scr, w_last)
 
             def _count_one(n):
                 if unrolled:
                     vals, masked = _probe_row(
                         val_ref, msk_ref, n, t, pen_full, last_full
                     )
+                last_eq = None
+                if premask:
+                    cls = _premask_class(msk_ref[n, t - 1])
+                    last_eq = pm_scr[cls] == vals[t - 1]
+                    masked = ()
                 end_n = end_ref[n, 0]
                 # Per-lane valid-row threshold: pos = lane*s + row +
                 # seg_base < end  <=>  row < thr[lane]; a (1, LANES) plane
@@ -781,7 +853,7 @@ def _raw_count_call(
                         windows = _windows_factory(
                             pbuf, p4buf, slot, row0, cs, hoisted
                         )
-                        acc = _unrolled_acc(windows, vals, masked, t)
+                        acc = _unrolled_acc(windows, vals, masked, t, last_eq)
                     else:
                         acc = _pair_loop_acc(
                             pbuf, p4buf, slot, row0, cs,
@@ -850,7 +922,7 @@ def _raw_count_call(
             pltpu.VMEM((2, h - 3, LANES), jnp.uint32),
             pltpu.VMEM((2, h - 7, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        ] + ([pltpu.VMEM((5, cs, LANES), jnp.uint32)] if premask else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
