@@ -10,9 +10,11 @@ error): ``dynamic`` (length dispatch), ``pallas`` (native kernels), ``xla``
 (portable), ``naive`` (oracle), ``memchr`` (1-byte needles), ``batched``
 (treats the needle argument as a comma-separated list), ``count``
 (grep -c analogue: overlapping occurrence counts, comma-separated needles),
-``positions`` (grep -b analogue: every overlapping match offset).  In
-multi-needle lists ``\\,`` escapes a literal comma and ``\\\\`` a literal
-backslash (see :func:`split_needles`).
+``positions`` (grep -b analogue: every overlapping match offset), and
+``stream`` (like ``batched`` but windows the file through a bounded device
+footprint — files of any size, offsets exact past 2 GiB;
+utils/streaming.py).  In multi-needle lists ``\\,`` escapes a literal
+comma and ``\\\\`` a literal backslash (see :func:`split_needles`).
 
 The file is memory-mapped and laid out on device once (the reference mmaps
 via memmap2, examples/grep.rs:49-50); output is the match verdict plus the
@@ -80,6 +82,13 @@ def search_in_file(backend: str, needle: bytes, path: str):
         dh = load_haystack(path, kh=max(max(len(n) for n in needles), 4))
         offs = BatchedSearcher(needles).find_all(dh)
         return [(o >= 0, None if o < 0 else int(o)) for o in offs]
+    if backend == "stream":
+        # Windowed streaming scan: any file size, int64-exact offsets.
+        from .utils.streaming import StreamingScanner
+
+        needles = split_needles(needle)
+        offs = StreamingScanner(needles).find_in_file(path)
+        return [(o >= 0, None if o < 0 else int(o)) for o in offs]
     if backend == "positions":
         # grep -b analogue: every overlapping match offset per needle.
         needles = split_needles(needle)
@@ -90,7 +99,7 @@ def search_in_file(backend: str, needle: bytes, path: str):
     if cls is None:
         raise SystemExit(
             f"unknown backend {backend!r}; choose from "
-            f"{sorted(BACKENDS) + ['batched', 'count', 'positions']}"
+            f"{sorted(BACKENDS) + ['batched', 'count', 'positions', 'stream']}"
         )
     dh = load_haystack(path, kh=max(len(needle), 4))
     s = cls(needle)
@@ -124,7 +133,7 @@ def main(argv=None):
                     f"{shown if found else 'no match'}{more}"
                 )
                 rc = 0 if found else rc
-        elif backend == "batched":
+        elif backend in ("batched", "stream"):
             for nd, (found, off) in zip(split_needles(needle_b), res):
                 print(f"{path}: {nd.decode('utf-8', 'replace')}: "
                       f"{'match at ' + str(off) if found else 'no match'}")

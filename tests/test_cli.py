@@ -32,6 +32,30 @@ def test_cli_batched(corpus_file, capsys):
     assert "zebra: no match" in out
 
 
+def test_cli_stream(tmp_path, capsys):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    data = bytes(rng.integers(97, 110, (300_000,), dtype=np.uint8))
+    p = tmp_path / "big.bin"
+    p.write_bytes(data)
+    nd = data[123_456:123_468].decode("latin-1")
+    from sliceslice_tpu.utils import streaming
+
+    old = streaming.StreamingScanner.__init__
+    # Small windows so the file actually streams in multiple windows.
+    def patched(self, needles, window_bytes=100_000, check_every=4):
+        old(self, needles, window_bytes, check_every)
+    streaming.StreamingScanner.__init__ = patched
+    try:
+        assert main(["stream", f"{nd},zebra!", str(p)]) == 0
+    finally:
+        streaming.StreamingScanner.__init__ = old
+    out = capsys.readouterr().out
+    assert f"{nd}: match at 123456" in out
+    assert "zebra!: no match" in out
+
+
 def test_cli_invalid_backend(corpus_file):
     # reference: panics on invalid backend (examples/grep.rs:39)
     with pytest.raises(SystemExit):
