@@ -42,7 +42,7 @@ NBLK = 256
 
 
 @functools.lru_cache(maxsize=32)
-def build(g, h, s, t, n_pad, variant):
+def build(g, h, s, t, n_pad, variant, unroll=4):
     cs = s
 
     def kernel(val_ref, msk_ref, pw_hbm, out_ref, pbuf, p4buf, sem, pm_scr):
@@ -118,14 +118,12 @@ def build(g, h, s, t, n_pad, variant):
                 fin = jnp.minimum(out_ref[n, :].reshape(1, LANES), gmin)
                 out_ref[n, :] = fin.reshape(LANES)
 
-            def quad(i, c):
-                scan_one(4 * i)
-                scan_one(4 * i + 1)
-                scan_one(4 * i + 2)
-                scan_one(4 * i + 3)
+            def group(i, c):
+                for j in range(unroll):
+                    scan_one(unroll * i + j)
                 return c
 
-            jax.lax.fori_loop(0, NBLK // 4, quad, 0)
+            jax.lax.fori_loop(0, NBLK // unroll, group, 0)
             return carry
 
         out_ref[:] = jnp.full((NBLK, LANES), SENTINEL, jnp.int32)
@@ -156,13 +154,23 @@ def build(g, h, s, t, n_pad, variant):
 
 
 def main():
-    variants = sys.argv[1:] or ["full", "nomin", "noprobe", "empty"]
+    args = sys.argv[1:]
+    t = 2
+    unroll = 4
+    variants = []
+    for a in args:
+        if a.startswith("t="):
+            t = int(a[2:])
+        elif a.startswith("u="):
+            unroll = int(a[2:])
+        else:
+            variants.append(a)
+    variants = variants or ["full", "nomin", "noprobe", "empty"]
     hay = open("data/i386.txt", "rb").read()
     dh = st.preprocess(hay, kh=24)
     pw = dh.windows()
     g, rows, _ = pw.shape
     h = rows + 3
-    t = 2
     n = 4585
     n_pad = -(-n // NBLK) * NBLK
     rng = np.random.default_rng(0)
@@ -172,19 +180,20 @@ def main():
     classes = np.array([0xFF, 0xFFFF, 0xFFFFFF, 0xFFFFFFFF], np.uint32)
     masks[:, t - 1] = classes[np.arange(n_pad) % 4]
     values = (values & masks).astype(np.uint32)
-    # Plant a few real needles so correctness is observable.
+    # Plant a few real needles so correctness is observable (t=2 only).
     import struct
-    for row, off in ((0, 100_000), (201, 40_000), (255, 700_000), (4000, 856_000)):
-        nd = hay[off : off + 8]
-        v0 = struct.unpack("<I", nd[:4])[0]
-        v1 = struct.unpack("<I", nd[4:8])[0]
-        values[row] = (v0, v1 & masks[row, 1])
+    if t == 2:
+        for row, off in ((0, 100_000), (201, 40_000), (255, 700_000), (4000, 856_000)):
+            nd = hay[off : off + 8]
+            v0 = struct.unpack("<I", nd[:4])[0]
+            v1 = struct.unpack("<I", nd[4:8])[0]
+            values[row] = (v0, v1 & masks[row, 1])
     vals_d = jnp.asarray(values)
     msks_d = jnp.asarray(masks)
     K = 32
     ref_out = None
     for variant in variants:
-        call = build(g, h, dh.s, t, n_pad, variant)
+        call = build(g, h, dh.s, t, n_pad, variant, unroll)
         out = np.asarray(call(vals_d, msks_d, pw))  # compile+warm
         if variant == "full":
             ref_out = out

@@ -23,6 +23,34 @@ from .mesh import make_mesh
 from .shard_scan import sharded_find_cols
 
 
+def granularity_efficiency(g: int, n: int) -> float:
+    """Upper bound on scaling efficiency from whole-segment sharding alone:
+    a shard receives ``ceil(g/n)`` of ``g`` segments, so the slowest shard
+    determines the step time.  >= 90% whenever g >= 9n (docs/SCALING.md) —
+    shard corpora so each chip holds >= 9 segments, or raise ``g`` via
+    ``preprocess(seg_rows=...)``."""
+    if g <= 0 or n <= 0:
+        raise ValueError("g and n must be positive")
+    return g / (n * -(-g // n))
+
+
+def predicted_efficiency(
+    g: int,
+    n: int,
+    bytes_per_shard: int,
+    scan_gbps: float = 666.0,
+    allreduce_bytes: int = 4 * 4096,
+    ici_gbps: float = 50.0,
+) -> float:
+    """Cost-model efficiency bound: granularity skew x communication term
+    (one tiny all-reduce per query batch vs B/n bytes of scan per chip).
+    Defaults: the measured never-match fullscan rate (the conservative,
+    data-independent regime) and a mid-range ICI bandwidth."""
+    scan_s = bytes_per_shard / (scan_gbps * 1e9)
+    comm_s = allreduce_bytes / (ici_gbps * 1e9)
+    return granularity_efficiency(g, n) * scan_s / (scan_s + comm_s)
+
+
 def measure_scaling(
     dh: DeviceHaystack,
     needles: Sequence[bytes],
@@ -36,7 +64,9 @@ def measure_scaling(
             n for n in (1, 2, 4, 8, 16, 32, 64) if n <= len(devices)
         ]
     values, masks, lengths = build_probe_table(needles)
-    ends = np.maximum(dh.length - lengths + 1, 0).astype(np.int32)
+    ends = np.maximum(
+        np.int64(dh.length) - lengths.astype(np.int64) + 1, 0
+    )
     total_bytes = dh.length * len(needles)
 
     results = []
