@@ -54,12 +54,31 @@ def _chunk_windows(chunks: Iterable[bytes], window: int, overlap: int):
         yield buf
 
 
+def _host_count_limited(data: bytes, nd: bytes, end: int) -> int:
+    """Overlapping occurrences of ``nd`` starting at positions < ``end``."""
+    c = 0
+    p = data.find(nd)
+    while 0 <= p < end:
+        c += 1
+        p = data.find(nd, p + 1)
+    return c
+
+
 class StreamingScanner:
+    """Windowed scan of arbitrarily long byte streams.
+
+    ``mesh``: optional device mesh — each window is then scanned by the
+    sharded kernels (parallel/shard_scan.py), composing the two scale
+    dimensions: streams beyond any single device's memory AND corpora
+    beyond one chip's bandwidth (windows sharded over the data axis, the
+    same exactly-once rules at both window and shard boundaries)."""
+
     def __init__(
         self,
         needles: Sequence,
         window_bytes: int = 32 * 1024 * 1024,
         check_every: int = 4,
+        mesh=None,
     ):
         self.batched = BatchedSearcher(needles)
         if self.batched._huge:
@@ -74,6 +93,7 @@ class StreamingScanner:
         self.window = window_bytes
         self.overlap = max(self.batched.max_len - 1, 0)
         self.check_every = check_every
+        self.mesh = mesh
         need = max(4 * self.batched.max_t - 1, 3)
         self._kh = need
 
@@ -88,6 +108,78 @@ class StreamingScanner:
         return self._scan(
             _chunk_windows(chunks, self.window, self.overlap), early_stop
         )
+
+    def count_in_file(self, path) -> np.ndarray:
+        """Overlapping occurrence counts (int64[N]) over the whole stream —
+        exact past 2 GiB (per-window int32 device counts, int64 host sum).
+        No early stop exists to use (counts need the full stream)."""
+        return self._count(_file_windows(path, self.window, self.overlap))
+
+    def count_in_chunks(self, chunks: Iterable[bytes]) -> np.ndarray:
+        return self._count(_chunk_windows(chunks, self.window, self.overlap))
+
+    def _group_ends(self, grp, wlen: int, is_last: bool) -> np.ndarray:
+        """Window-local valid-position bounds for one width group: count
+        positions only in [0, window) — the overlap peek belongs to the
+        next window — except in the final window, where the stream's true
+        end applies."""
+        lens = grp.lengths
+        end_local = wlen - lens + 1 if is_last else np.minimum(
+            self.window, wlen - lens + 1
+        )
+        return grp.pad_ends(np.maximum(end_local, 0))
+
+    def _count(self, windows: Iterator[bytes]) -> np.ndarray:
+        bs = self.batched
+        n = len(bs)
+        totals = np.zeros((n,), dtype=np.int64)
+        pending: List[jax.Array] = []
+        for wbytes in windows:
+            dh = preprocess(
+                wbytes, kh=self._kh, keep_host=False, windows_only=True,
+                force_cols=self.mesh is not None,
+            )
+            is_last = len(wbytes) < self.window + self.overlap
+            parts = []
+            blobs = []
+            for grp in bs.groups:
+                end_local = self._group_ends(grp, len(wbytes), is_last)
+                if self.mesh is not None:
+                    from ..parallel.shard_scan import sharded_count_cols
+
+                    local = sharded_count_cols(
+                        dh, grp.values_dev, grp.masks_dev,
+                        end_local, self.mesh,
+                    )
+                elif not dh.tiled:
+                    local = jnp.asarray(
+                        [
+                            _host_count_limited(wbytes, nd, int(e))
+                            for nd, e in zip(
+                                [bs.needles[i] for i in grp.indices],
+                                end_local,
+                            )
+                        ]
+                        + [0] * (grp.n_pad - grp.n),
+                        jnp.int32,
+                    )
+                else:
+                    local = scan_kernel.batched_count_cols(
+                        None,
+                        grp.values_dev,
+                        grp.masks_dev,
+                        end_local.astype(np.int32),
+                        s=dh.s,
+                        pw=dh.windows(),
+                    )
+                parts.append(local)
+                blobs.append(grp.indices.tobytes())
+            from ..models.batched import _scatter_groups
+
+            pending.append(_scatter_groups(n, tuple(blobs), parts))
+        for arr in pending:
+            totals += np.asarray(arr).astype(np.int64)
+        return totals
 
     def _scan(self, windows: Iterator[bytes], early_stop: bool) -> np.ndarray:
         bs = self.batched
@@ -104,21 +196,22 @@ class StreamingScanner:
             # windows_only: the scan consumes packed windows only, so each
             # window pins ~4 bytes/byte on device instead of ~5.
             dh = preprocess(
-                wbytes, kh=self._kh, keep_host=False, windows_only=True
+                wbytes, kh=self._kh, keep_host=False, windows_only=True,
+                force_cols=self.mesh is not None,
             )
             is_last = len(wbytes) < self.window + self.overlap
             parts = []
             blobs = []
             for grp in bs.groups:
-                # Count positions only in [base, base + window): the overlap
-                # peek belongs to the next window — except in the final
-                # window, where the stream's true end applies.
-                lens = grp.lengths
-                end_local = len(wbytes) - lens + 1 if is_last else np.minimum(
-                    self.window, len(wbytes) - lens + 1
-                )
-                end_local = grp.pad_ends(np.maximum(end_local, 0))
-                if not dh.tiled:
+                end_local = self._group_ends(grp, len(wbytes), is_last)
+                if self.mesh is not None:
+                    from ..parallel.shard_scan import sharded_find_cols
+
+                    local = sharded_find_cols(
+                        dh, grp.values_dev, grp.masks_dev,
+                        end_local, self.mesh,
+                    )
+                elif not dh.tiled:
                     from ..ops import xla_backend
 
                     local = xla_backend.find_batched_flat(
