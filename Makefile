@@ -1,7 +1,7 @@
 # Developer entry points (the check.yml analogue: test gate, slow conformance,
 # bench, native build).
 
-.PHONY: lint test test-tpu test-slow fuzz bench bench-competitors native clean
+.PHONY: lint test test-tpu test-slow fuzz multihost bigscan bench bench-competitors native clean
 
 lint:
 	python scripts/lint.py
@@ -17,6 +17,12 @@ test-slow:
 
 fuzz:
 	python scripts/fuzz_campaign.py
+
+multihost:
+	python scripts/multihost_check.py
+
+bigscan:
+	python scripts/bigscan_check.py
 
 bench:
 	python bench.py
