@@ -9,6 +9,10 @@ t=2 fullscans cost the same:
   premask  — like full, but the final slot compares against per-segment
              premasked window copies (4 mask classes in VMEM scratch,
              dynamic class index per needle) — drops the per-needle AND
+  premsel  — premask + select-chain: where(eq0, where(eq1, iota, NR), NR)
+             instead of and(eq0, eq1) + one select — tests whether selects
+             issue on the (apparently free) reduction unit while AND
+             contends with the compares
   nomin    — probes only, OR-accumulate into out (drops first-offset math)
   noprobe  — select+min on a constant mask (drops probe compares)
   empty    — needle loop with only the out_ref update (scalar floor)
@@ -67,7 +71,7 @@ def build(g, h, s, t, n_pad, variant, unroll=4):
                 src = pbuf if ti % 2 == 0 else p4buf
                 off = pl.multiple_of(4 * (ti - ti % 2), 8)
                 wins.append(src[slot, pl.ds(off, cs), :])
-            if variant == "premask":
+            if variant in ("premask", "premsel"):
                 # One premasked copy of the final-slot window per mask
                 # class, built once per (block, segment) — the per-needle
                 # masked compare then drops its AND.
@@ -83,10 +87,10 @@ def build(g, h, s, t, n_pad, variant, unroll=4):
                     )
                     return
                 if variant != "noprobe":
-                    acc = None
+                    eqs = []
                     for ti in range(t):
                         v = val_ref[n, ti]
-                        if ti == t - 1 and variant == "premask":
+                        if ti == t - 1 and variant in ("premask", "premsel"):
                             m = msk_ref[n, ti]
                             cls = (
                                 jnp.int32(0)
@@ -94,11 +98,26 @@ def build(g, h, s, t, n_pad, variant, unroll=4):
                                 + (m > 0xFFFF).astype(jnp.int32)
                                 + (m > 0xFFFFFF).astype(jnp.int32)
                             )
-                            eq = pm_scr[cls] == v
+                            eqs.append(pm_scr[cls] == v)
                         elif ti == t - 1:
-                            eq = (wins[ti] & msk_ref[n, ti]) == v
+                            eqs.append((wins[ti] & msk_ref[n, ti]) == v)
                         else:
-                            eq = wins[ti] == v
+                            eqs.append(wins[ti] == v)
+                    if variant == "premsel":
+                        # select-chain instead of AND-chain: masked iota
+                        # narrows through each eq.
+                        mrows = row_iota
+                        for eq in eqs:
+                            mrows = jnp.where(eq, mrows, NO_ROW)
+                        lmin = jnp.min(mrows, axis=0, keepdims=True)
+                        gmin = jnp.where(lmin < NO_ROW, lmin + gi, SENTINEL)
+                        fin = jnp.minimum(
+                            out_ref[n, :].reshape(1, LANES), gmin
+                        )
+                        out_ref[n, :] = fin.reshape(LANES)
+                        return
+                    acc = None
+                    for eq in eqs:
                         acc = eq if acc is None else jnp.logical_and(acc, eq)
                 else:
                     acc = wins[0] == jnp.uint32(0xFFFFFFFF)
@@ -197,8 +216,8 @@ def main():
         out = np.asarray(call(vals_d, msks_d, pw))  # compile+warm
         if variant == "full":
             ref_out = out
-        elif variant == "premask" and ref_out is not None:
-            print("premask == full:", (out == ref_out).all())
+        elif variant in ("premask", "premsel") and ref_out is not None:
+            print(f"{variant} == full:", (out == ref_out).all())
         ts = []
         for _ in range(4):
             t0 = time.perf_counter()
