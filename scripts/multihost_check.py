@@ -99,21 +99,15 @@ def worker(port: int, pid: int) -> None:
     cnt = np.asarray(sharded_count_cols(gc, values, masks, ends, mesh))
 
     # Oracle on the full corpus (test-only; workers CAN generate it here).
+    from sliceslice_tpu.searcher import overlapping_count
+
     full = corpus_chunk(0, CORPUS_BYTES)
     for nd, o, c in zip(needles, got, cnt):
         exp = full.find(nd)
         eo = -1 if exp < 0 else exp
         oo = -1 if o >= 2**31 - 1 else int(o)
         assert oo == eo, (nd, oo, eo)
-        expc = 0
-        start = 0
-        while True:
-            j = full.find(nd, start)
-            if j < 0:
-                break
-            expc += 1
-            start = j + 1
-        assert int(c) == expc, (nd, int(c), expc)
+        assert int(c) == overlapping_count(full, nd), (nd, int(c))
     print(f"process {pid}: multihost parity ok "
           f"({len(needles)} needles, mesh {dict(zip(mesh.axis_names, mesh.devices.shape))})")
 

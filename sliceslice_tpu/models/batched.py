@@ -255,8 +255,14 @@ class BatchedSearcher:
         return out
 
     def _layout(self, hay: HaystackLike) -> DeviceHaystack:
-        # Halo must cover the widest group's probe table.
+        # Halo must cover the widest group's probe table — and the huge
+        # needles' 64-byte prefix filter, so their positions scan reuses
+        # this layout instead of relayouting per needle.
         need = max(4 * self.max_t - 1, 3)
+        if self._huge:
+            from .huge import PREFIX_LEN
+
+            need = max(need, PREFIX_LEN - 1)
         if isinstance(hay, DeviceHaystack):
             return hay.ensure_halo(need)
         return preprocess(_hay_bytes(hay), kh=need)
@@ -268,13 +274,17 @@ class BatchedSearcher:
         n = len(self.needles)
         if n == 0:
             return np.zeros((0,), np.int64)
+        # One layout for the kernel sweep AND the huge-needle fills (the
+        # halo covers both; re-preprocessing per huge needle measured as
+        # O(huge) redundant corpus uploads).
+        dh = self._layout(hay)
         if self.groups:
-            firsts = self.find_all_device(hay, _allow_huge=True)
+            firsts = self.find_all_device(dh, _allow_huge=True)
             out = np.asarray(firsts).astype(np.int64)  # one device->host read
             out[out >= SENTINEL] = -1
         else:
             out = np.full((n,), -1, np.int64)
-        return self._fill_huge(out, hay)
+        return self._fill_huge(out, dh)
 
     def _fill_huge(self, out: np.ndarray, hay: HaystackLike) -> np.ndarray:
         """Overwrite huge-needle slots (filter+verify path, models/huge.py);

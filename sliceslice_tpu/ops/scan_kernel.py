@@ -153,6 +153,15 @@ def _premask_fill(pm_scr, w_last):
     pm_scr[4] = w_last
 
 
+def _premask_classes_ok(masks_np: np.ndarray) -> bool:
+    """True when every FINAL-slot mask is one of the little-endian byte
+    prefixes in PM_CLASSES — the only masks build_probe_table emits and the
+    only ones the premask path can classify.  Caller-built host tables with
+    exotic final masks (e.g. 0xFFFF0000) fall back to the exact masked
+    compare (pen_full cleared)."""
+    return bool(np.isin(masks_np[:, -1], np.asarray(PM_CLASSES, np.uint32)).all())
+
+
 def _premask_class(m):
     """Scalar class index of mask ``m`` (a handful of scalar ops replacing a
     full (cs, LANES) vector AND per needle)."""
@@ -649,6 +658,15 @@ def batched_find_cols(
                 "probe table violates width contract: non-final slots must "
                 "be full-mask (group needles by ceil(k/4) width)"
             )
+    if (
+        pen_full
+        and not last_full
+        and isinstance(masks, np.ndarray)
+        and not _premask_classes_ok(masks)
+    ):
+        # Exotic final masks can't ride the premasked-window path; keep the
+        # exact per-needle masked compare instead.
+        pen_full = False
     if t > PROBE_UNROLL and t % 2:
         # Pair-looped path needs an even width; a mask-0 slot is a no-op.
         values = np.pad(np.asarray(values), ((0, 0), (0, 1)))
@@ -984,6 +1002,15 @@ def batched_count_cols(
     n, t = values.shape
     if t > PROBE_UNROLL:
         pen_full = last_full = False
+    if (
+        pen_full
+        and not last_full
+        and isinstance(masks, np.ndarray)
+        and not _premask_classes_ok(masks)
+    ):
+        # Exotic final masks can't ride the premasked-window path (see
+        # batched_find_cols); keep the exact per-needle masked compare.
+        pen_full = False
     if t > PROBE_UNROLL and t % 2:
         values = np.pad(np.asarray(values), ((0, 0), (0, 1)))
         masks = np.pad(np.asarray(masks), ((0, 0), (0, 1)))

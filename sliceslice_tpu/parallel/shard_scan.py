@@ -289,14 +289,24 @@ def _sharded_homogeneous(
     # Global ends in int64 (corpora past 2 GiB overflow int32); the kernels
     # only ever see the shard-local clipped int32 matrix built below.
     ends64 = np.asarray(ends, dtype=np.int64)
+    # Homogeneous tables (regrouped by effective width above, or passed as
+    # such) have full masks on every slot below the final one.  Caller-built
+    # host tables with exotic final masks (non-byte-prefix) can't ride the
+    # premasked-window path — clear pen_full so the kernel keeps the exact
+    # masked compare (device-array tables come from build_probe_table and
+    # satisfy the prefix contract by construction).
+    pen_full = values.shape[1] <= scan_kernel.PROBE_UNROLL
+    if (
+        pen_full
+        and isinstance(masks, np.ndarray)
+        and not scan_kernel._premask_classes_ok(masks)
+    ):
+        pen_full = False
     masks = jnp.asarray(masks, jnp.uint32)
     # Kernels use the 2-op (w & m) == v compare; re-mask defensively in case
     # a caller-built table is not pre-masked (build_probe_table tables are).
     values = jnp.asarray(values, jnp.uint32) & masks
     n, t = values.shape
-    # Homogeneous tables (regrouped by effective width above, or passed as
-    # such) have full masks on every slot below the final one.
-    pen_full = t <= scan_kernel.PROBE_UNROLL
     if t > scan_kernel.PROBE_UNROLL and t % 2:
         # The long-needle kernel loops probe *pairs*; a mask-0 slot is a no-op.
         values = jnp.pad(values, ((0, 0), (0, 1)))

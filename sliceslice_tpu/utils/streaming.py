@@ -4,12 +4,12 @@ bounded device footprint.
 The reference's long-sequence mechanism is its streaming register loop
 (SURVEY.md §5.7); scaled up a level, this module streams *windows* of a file
 (or chunk iterator) through the tiled scan kernel: each window carries a
-``k_max - 1``-byte overlap peek so windows are self-contained, per-window
-ends mask the overlap region (counted exactly once, in the window where a
-match's first byte lives — the same exactly-once rule as shard boundaries),
-and per-needle minima combine on device.  One host readback at the end (or
-every ``check_every`` windows when early-stop is on and every needle has
-been found).
+``k_max - 1``-byte overlap peek so windows are self-contained, and
+per-window ends mask the overlap region (counted exactly once, in the
+window where a match's first byte lives — the same exactly-once rule as
+shard boundaries).  Window results fold into an int64 host accumulator
+every ``check_every`` windows (bounded retained device buffers, no
+per-window sync; early stop checks the same fold).
 
 Device math is window-LOCAL int32 (each window is far below 2 GiB); the
 global offset is folded on host in int64, so streams of any length — well
@@ -177,6 +177,12 @@ class StreamingScanner:
             from ..models.batched import _scatter_groups
 
             pending.append(_scatter_groups(n, tuple(blobs), parts))
+            if len(pending) >= self.check_every:
+                # Bound retained device buffers (a multi-TB stream would
+                # otherwise queue one per window before any readback).
+                for arr in pending:
+                    totals += np.asarray(arr).astype(np.int64)
+                pending.clear()
         for arr in pending:
             totals += np.asarray(arr).astype(np.int64)
         return totals
@@ -186,8 +192,8 @@ class StreamingScanner:
         n = len(bs)
         # int64 host accumulator: windows arrive in stream order, so a slot
         # is finalized by the FIRST window whose local scan reports a match.
-        # Device results stay window-local int32 and are folded lazily (no
-        # per-window sync; reads happen at early-stop checks and at the end).
+        # Device results stay window-local int32 and fold every check_every
+        # windows (and at the end) — no per-window sync, bounded buffers.
         best = np.full((n,), -1, dtype=np.int64)
         pending: List[Tuple[int, jax.Array]] = []
         base = 0
@@ -234,10 +240,12 @@ class StreamingScanner:
             pending.append((base, _scatter_groups(n, tuple(blobs), parts)))
             base += self.window
             since_check += 1
-            if early_stop and since_check >= self.check_every:
+            if since_check >= self.check_every:
+                # Fold on cadence regardless of early_stop — bounds retained
+                # device buffers on arbitrarily long streams.
                 since_check = 0
                 self._fold(best, pending)
-                if (best >= 0).all():
+                if early_stop and (best >= 0).all():
                     break
         self._fold(best, pending)
         return best

@@ -77,3 +77,62 @@ def test_inlined_alias():
     s = DynamicSearcher(b"ab")
     assert s.inlined_search_in(b"xxab") is True
     assert PallasSearcher(b"ab").inlined_search_in(b"zz") is False
+
+
+def test_exotic_final_mask_pen_full_exact():
+    """Caller-built tables whose final mask is NOT a little-endian byte
+    prefix must stay exact under pen_full: the premasked-window path cannot
+    classify them, so the kernel falls back to the per-needle masked
+    compare (r2 regression: premask misclassified 0xFFFF0000 and returned
+    a false negative)."""
+    import struct
+
+    from sliceslice_tpu.needle import build_probe_table
+    from sliceslice_tpu.ops import scan_kernel
+    from sliceslice_tpu.ops.layout import preprocess
+
+    rng = np.random.default_rng(17)
+    hay = bytearray(rng.integers(97, 105, (300_000,), dtype=np.uint8))
+    hay[123_456:123_464] = b"QRSTUVWX"
+    hay = bytes(hay)
+    dh = preprocess(hay, kh=16)
+    v0 = struct.unpack("<I", b"QRST")[0]
+    v1 = struct.unpack("<I", b"UVWX")[0]
+    # Exotic final mask: compare only the HIGH two bytes of the second
+    # window (matches any needle b"QRST??WX").
+    values = np.array([[v0, v1 & 0xFFFF0000]], np.uint32)
+    masks = np.array([[0xFFFFFFFF, 0xFFFF0000]], np.uint32)
+    ends = np.array([len(hay) - 8 + 1], np.int32)
+    for pen_full in (False, True):
+        got = int(
+            np.asarray(
+                scan_kernel.batched_find_cols(
+                    None, values, masks, ends, s=dh.s,
+                    pen_full=pen_full, pw=dh.windows(),
+                )
+            )[0]
+        )
+        assert got == 123_456, (pen_full, got)
+    # And through the sharded entry (which sets pen_full itself).
+    import jax
+
+    if len(jax.devices()) >= 2:
+        from sliceslice_tpu.parallel import make_mesh, sharded_find_cols
+
+        mesh = make_mesh((2, 1), jax.devices()[:2])
+        got = int(
+            np.asarray(sharded_find_cols(dh, values, masks, ends, mesh))[0]
+        )
+        assert got == 123_456
+    # Prefix masks (the build_probe_table contract) keep riding premask.
+    vals2, msks2, lens2 = build_probe_table([b"QRSTUVW"])  # k=7: mask 0xFFFFFF
+    ends2 = np.array([len(hay) - 7 + 1], np.int32)
+    got = int(
+        np.asarray(
+            scan_kernel.batched_find_cols(
+                None, vals2, msks2, ends2, s=dh.s,
+                pen_full=True, pw=dh.windows(),
+            )
+        )[0]
+    )
+    assert got == 123_456
