@@ -141,6 +141,13 @@ class DeviceHaystack:
     #: instead of rebuilding them per (needle-block, segment) (4x the u8
     #: bytes in HBM; the scan is compute-bound, the DMA hides behind it).
     pw: Optional[jax.Array] = None
+    #: one-slot cache for ensure_halo rebuilds: repeated calls (e.g. a
+    #: searcher's per-sweep layout check) reuse one widened layout instead
+    #: of re-preprocessing the corpus per call (which would also defeat
+    #: downstream pw-identity caches).
+    _rehalo: Optional["DeviceHaystack"] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
 
     @property
     def seg_bytes(self) -> int:
@@ -190,15 +197,24 @@ class DeviceHaystack:
         return needed_halo(k) <= self.kh
 
     def ensure_halo(self, min_kh: int) -> "DeviceHaystack":
-        """Return a layout with at least ``min_kh`` halo bytes."""
+        """Return a layout with at least ``min_kh`` halo bytes — this one
+        when it suffices, else a rebuilt layout (cached on this object, so
+        repeated sweeps reuse ONE widened layout and its packed windows)
+        preserving the windows-only choice."""
         if not self.tiled or self.kh >= min_kh:
             return self
+        if self._rehalo is not None and self._rehalo.kh >= min_kh:
+            return self._rehalo
         if self.host_bytes is None:
             raise ValueError(
                 f"layout halo kh={self.kh} < required {min_kh} and no host "
                 "bytes retained to rebuild; preprocess with a larger kh"
             )
-        return preprocess(self.host_bytes, kh=min_kh)
+        self._rehalo = preprocess(
+            self.host_bytes, kh=min_kh,
+            windows_only=self.cols is None and self.pw is not None,
+        )
+        return self._rehalo
 
     def ensure_kh(self, k: int) -> "DeviceHaystack":
         """Return a layout whose halo supports needles of length ``k``."""

@@ -220,9 +220,17 @@ class PairwiseSearcher:
             return hit[1]
         return None
 
+    #: retained (kind, haystack-list) cache entries; beyond this the oldest
+    #: are evicted so a long-running service cycling through many distinct
+    #: haystack lists doesn't pin every list + its (N, H) device matrices.
+    _HAY_CACHE_CAP = 12
+
     def _cache_put(self, kind: str, haystacks, value):
         key = (kind, id(haystacks) if haystacks is not None else None)
-        self._hay_cache[key] = (haystacks, value)
+        self._hay_cache.pop(key, None)
+        self._hay_cache[key] = (haystacks, value)  # dicts keep insert order
+        while len(self._hay_cache) > self._HAY_CACHE_CAP:
+            self._hay_cache.pop(next(iter(self._hay_cache)))
         return value
 
     def _pack_hay(self, haystacks: Sequence[bytes] | None):

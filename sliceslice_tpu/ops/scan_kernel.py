@@ -153,6 +153,32 @@ def _premask_fill(pm_scr, w_last):
     pm_scr[4] = w_last
 
 
+def _check_width_contract(
+    masks: np.ndarray, t: int, pen_full: bool, last_full: bool
+) -> None:
+    """Contract guard (host tables only; device tables come from the
+    grouped builders which satisfy it by construction): every slot below
+    the masked tail must be FULL-mask on every non-padding row — the
+    kernels compare those slots without masks, so a narrower needle merged
+    into a too-wide table would silently false-negative (e.g. a k=4 row in
+    a t=4 table, masks [full, 0, 0, 0]: slots 1..2 would compare unmasked
+    as window == 0).  All-zero rows are padding and exempt (their end = 0
+    filters any spurious match)."""
+    if t > PROBE_UNROLL:
+        return  # the pair-looped long-needle path applies every mask
+    n_masked = 0 if last_full else (1 if pen_full else 2)
+    if t <= n_masked:
+        return
+    body = masks[:, : t - n_masked]
+    padding = (masks == 0).all(axis=1)
+    if ((body != 0xFFFFFFFF).any(axis=1) & ~padding).any():
+        raise ValueError(
+            "probe table violates width contract: non-final slots must "
+            "be full-mask on every non-padding row (group needles by "
+            "ceil(k/4) width — build_probe_table per width group)"
+        )
+
+
 def _premask_classes_ok(masks_np: np.ndarray) -> bool:
     """True when every FINAL-slot mask is one of the little-endian byte
     prefixes in PM_CLASSES — the only masks build_probe_table emits and the
@@ -644,20 +670,8 @@ def batched_find_cols(
         pen_full = last_full = False
     if last_full:
         pen_full = True
-    n_masked = 0 if last_full else (1 if pen_full else 2)
-    if isinstance(masks, np.ndarray) and t > n_masked:
-        # Contract guard (host tables only; device tables are produced by
-        # the grouped builders which satisfy it by construction): slots
-        # below the masked tail must be full-mask.
-        body = masks[:, : t - n_masked]
-        tail0 = t - n_masked
-        if not ((body == 0xFFFFFFFF) | (body == 0)).all() or (
-            (body == 0).any(axis=1) & (masks[:, tail0:] != 0).any(axis=1)
-        ).any():
-            raise ValueError(
-                "probe table violates width contract: non-final slots must "
-                "be full-mask (group needles by ceil(k/4) width)"
-            )
+    if isinstance(masks, np.ndarray):
+        _check_width_contract(masks, t, pen_full, last_full)
     if (
         pen_full
         and not last_full
@@ -1011,6 +1025,8 @@ def batched_count_cols(
         # Exotic final masks can't ride the premasked-window path (see
         # batched_find_cols); keep the exact per-needle masked compare.
         pen_full = False
+    if isinstance(masks, np.ndarray):
+        _check_width_contract(masks, t, pen_full, last_full)
     if t > PROBE_UNROLL and t % 2:
         values = np.pad(np.asarray(values), ((0, 0), (0, 1)))
         masks = np.pad(np.asarray(masks), ((0, 0), (0, 1)))

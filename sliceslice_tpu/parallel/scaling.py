@@ -72,6 +72,7 @@ def measure_scaling(
     results = []
     reference_out = None
     base_rate = None
+    base_n = None
     for n in device_counts:
         mesh = make_mesh((n, 1), devices=devices[:n])
         out = np.asarray(sharded_find_cols(dh, values, masks, ends, mesh))
@@ -82,18 +83,22 @@ def measure_scaling(
         ts = []
         for _ in range(samples):
             t0 = time.perf_counter()
-            sharded_find_cols(dh, values, masks, ends, mesh).block_until_ready()
+            r = sharded_find_cols(dh, values, masks, ends, mesh)
+            if not isinstance(r, np.ndarray):
+                r.block_until_ready()  # >2 GiB path returns host int64
             ts.append(time.perf_counter() - t0)
         sec = sorted(ts)[len(ts) // 2]
         rate = total_bytes / sec
         if base_rate is None:
-            base_rate = rate
+            base_rate, base_n = rate, n
         results.append(
             {
                 "devices": n,
                 "seconds": sec,
                 "bytes_per_s": rate,
-                "efficiency": rate / (base_rate * n),
+                # Efficiency vs linear FROM THE FIRST MEASURED POINT (a pod
+                # may not be able to run n=1).
+                "efficiency": rate / (base_rate * n / base_n),
             }
         )
     return results

@@ -191,6 +191,7 @@ def sharded_find_cols(
     interpret: Optional[bool] = None,
     mode: str = "find",
     force_int64: bool = False,
+    assume_homogeneous: bool = False,
 ):
     """Exact global first-match offsets of N needles over a segment-sharded
     corpus on ``mesh`` (``mode="count"``: overlapping occurrence counts
@@ -209,45 +210,59 @@ def sharded_find_cols(
 
     ``force_int64`` forces the >2 GiB component-pair path on any corpus so
     tests can exercise it without materializing gigabytes.
+
+    ``assume_homogeneous``: caller guarantees a grouped-builder table (one
+    effective width == the table width, plus optional all-zero padding
+    rows) — skips the width detection, and with device-resident tables the
+    host readback it would cost (the ShardedBatchedSearcher hot path).
     """
+    if assume_homogeneous:
+        return _sharded_homogeneous(
+            dh, values, masks, ends, mesh, nblk, interpret, mode,
+            force_int64,
+        )
     values_np = np.asarray(values)
     masks_np = np.asarray(masks)
     eff = (masks_np != 0).sum(axis=1)  # active slots are contiguous from 0
-    widths = np.unique(eff)
-    if len(widths) > 1 or (len(widths) == 1 and widths[0] != values_np.shape[1]):
-        ends_np = np.asarray(ends)
-        n = values_np.shape[0]
-        order = []
-        parts = []
-        for w in widths:
-            idx = np.nonzero(eff == w)[0]
-            w_eff = max(int(w), 1)
-            parts.append(
-                _sharded_homogeneous(
-                    dh,
-                    values_np[idx, :w_eff],
-                    masks_np[idx, :w_eff],
-                    ends_np[idx],
-                    mesh,
-                    nblk,
-                    interpret,
-                    mode,
-                    force_int64,
-                )
+    real = eff > 0  # all-zero rows are padding (end 0 — never match)
+    if (eff[real] == values_np.shape[1]).all():
+        # Homogeneous (padding rows ride along; the kernels tolerate them).
+        return _sharded_homogeneous(
+            dh, values, masks, ends, mesh, nblk, interpret, mode,
+            force_int64,
+        )
+    ends_np = np.asarray(ends)
+    n = values_np.shape[0]
+    order = []
+    parts = []
+    for w in np.unique(eff[real]):
+        idx = np.nonzero(eff == w)[0]
+        w_eff = max(int(w), 1)
+        parts.append(
+            _sharded_homogeneous(
+                dh,
+                values_np[idx, :w_eff],
+                masks_np[idx, :w_eff],
+                ends_np[idx],
+                mesh,
+                nblk,
+                interpret,
+                mode,
+                force_int64,
             )
-            order.append(idx)
-        if parts and isinstance(parts[0], np.ndarray):
-            # >2 GiB corpora: parts are host int64 — merge on host.
-            out = np.empty((n,), np.int64)
-            for idx, p in zip(order, parts):
-                out[idx] = p
-            return out
-        order = jnp.asarray(np.concatenate(order), jnp.int32)
-        merged = jnp.concatenate([jnp.asarray(p) for p in parts])
-        return jnp.zeros((n,), jnp.int32).at[order].set(merged)
-    return _sharded_homogeneous(
-        dh, values, masks, ends, mesh, nblk, interpret, mode, force_int64
-    )
+        )
+        order.append(idx)
+    # Padding rows are in no width class: they stay at the no-match init.
+    if parts and isinstance(parts[0], np.ndarray):
+        # >2 GiB corpora: parts are host int64 — merge on host.
+        out = np.full((n,), -1 if mode == "find" else 0, np.int64)
+        for idx, p in zip(order, parts):
+            out[idx] = p
+        return out
+    init = SENTINEL if mode == "find" else 0
+    order = jnp.asarray(np.concatenate(order), jnp.int32)
+    merged = jnp.concatenate([jnp.asarray(p) for p in parts])
+    return jnp.full((n,), init, jnp.int32).at[order].set(merged)
 
 
 def sharded_count_cols(
@@ -259,13 +274,14 @@ def sharded_count_cols(
     nblk: Optional[int] = None,
     interpret: Optional[bool] = None,
     force_int64: bool = False,
+    assume_homogeneous: bool = False,
 ):
     """Overlapping occurrence counts over a segment-sharded corpus — the
     count analogue of :func:`sharded_find_cols` (device int32 when the
     corpus fits int32 positions, host int64 ndarray past 2 GiB)."""
     return sharded_find_cols(
         dh, values, masks, ends, mesh, nblk, interpret, mode="count",
-        force_int64=force_int64,
+        force_int64=force_int64, assume_homogeneous=assume_homogeneous,
     )
 
 
@@ -296,12 +312,14 @@ def _sharded_homogeneous(
     # masked compare (device-array tables come from build_probe_table and
     # satisfy the prefix contract by construction).
     pen_full = values.shape[1] <= scan_kernel.PROBE_UNROLL
-    if (
-        pen_full
-        and isinstance(masks, np.ndarray)
-        and not scan_kernel._premask_classes_ok(masks)
-    ):
-        pen_full = False
+    if isinstance(masks, np.ndarray):
+        if pen_full and not scan_kernel._premask_classes_ok(masks):
+            pen_full = False
+        # Same contract guard as the single-chip entry points: a partial
+        # mask below the masked tail would compare unmasked in-kernel.
+        scan_kernel._check_width_contract(
+            masks, values.shape[1], pen_full, False
+        )
     masks = jnp.asarray(masks, jnp.uint32)
     # Kernels use the 2-op (w & m) == v compare; re-mask defensively in case
     # a caller-built table is not pre-masked (build_probe_table tables are).
@@ -312,6 +330,12 @@ def _sharded_homogeneous(
         values = jnp.pad(values, ((0, 0), (0, 1)))
         masks = jnp.pad(masks, ((0, 0), (0, 1)))
         t += 1
+    # Probe slots must fit the layout halo (same precondition as
+    # batched_find_cols — the kernel's window slices read h-3 packed rows).
+    assert 4 * t - 1 <= h - dh.s, (
+        f"probe table width {t} needs {4 * t - 1} halo bytes, layout has "
+        f"{h - dh.s}"
+    )
     n_data = mesh.shape[DATA_AXIS]
     n_needle = mesh.shape[NEEDLE_AXIS]
 
@@ -329,7 +353,13 @@ def _sharded_homogeneous(
     # Device offsets are shard-local int32; the combined global offset rides
     # int32 on device only when the whole (padded) corpus fits.
     fits32 = g_pad * seg <= SENTINEL and not force_int64
-    nblk = nblk or min(config.NEEDLE_BLOCK, _round_up(max(n // n_needle, 1), 8))
+    # Same SMEM-budget cap as scan_kernel.plan_block: two (nblk, t) uint32
+    # tables per block — long-needle tables must shrink the block.
+    cap = max(8, min(256, _round_up(2048 // max(t, 1), 8)))
+    nblk = nblk or min(
+        config.NEEDLE_BLOCK, cap, _round_up(max(n // n_needle, 1), 8)
+    )
+    nblk = min(nblk, cap)
     n_pad = _round_up(n, n_needle * nblk)
     if n_pad != n:
         values = jnp.pad(values, ((0, n_pad - n), (0, 0)))
@@ -516,6 +546,22 @@ class ShardedBatchedSearcher:
     def __len__(self):
         return len(self.inner)
 
+    def _corpus(self, hay):
+        """Resolve the input to a scannable corpus: DeviceHaystack / bytes
+        go through the batched layout (halo sized for the needle set);
+        duck-typed global corpora (parallel.distributed.GlobalCorpus) are
+        used as-is after a halo check — relayout would require assembling
+        the corpus on one host, which multi-host deliberately never does."""
+        if isinstance(hay, DeviceHaystack) or not hasattr(hay, "windows"):
+            return self.inner._layout(hay)
+        need = max(4 * self.inner.max_t - 1, 3)
+        if hay.kh < need:
+            raise ValueError(
+                f"global corpus halo kh={hay.kh} < required {need}; "
+                "assemble with a larger kh for this needle set"
+            )
+        return hay
+
     def _tables(self, hay_len: int):
         tabs = []
         for grp in self.inner.groups:
@@ -541,7 +587,7 @@ class ShardedBatchedSearcher:
         scatter results to input order (device scatter on the int32 path,
         host int64 scatter past 2 GiB).  ``remap_sentinel``: map the device
         path's SENTINEL to -1 (find semantics; counts are left as-is)."""
-        dh = self.inner._layout(dh)
+        dh = self._corpus(dh)
         n = len(self.inner)
         pw = dh.windows()  # corpus identity = the packed-window array
         key = id(pw)
@@ -554,8 +600,12 @@ class ShardedBatchedSearcher:
         parts = []
         blobs = []
         for grp, (v, m, e) in zip(self.inner.groups, tabs):
+            # Grouped tables are homogeneous-width by construction (padding
+            # rows have end 0): skip width detection and its device->host
+            # table readback.
             parts.append(
-                fn(dh, v, m, e, self.mesh, force_int64=self.force_int64)
+                fn(dh, v, m, e, self.mesh, force_int64=self.force_int64,
+                   assume_homogeneous=True)
             )
             blobs.append(grp.indices.tobytes())
         if parts and isinstance(parts[0], np.ndarray):
@@ -587,7 +637,7 @@ class ShardedBatchedSearcher:
         input order) across the sharded corpus — the sharded ``find_iter``
         capability.  ``batch`` bounds bitmap memory (corpus/8 bytes per
         needle per sweep, split across the data shards)."""
-        dh = self.inner._layout(dh)
+        dh = self._corpus(dh)
         out: list = [None] * len(self.inner)
         for grp in self.inner.groups:
             vals = np.asarray(grp.values_dev)[: grp.n]

@@ -149,7 +149,7 @@ class StreamingScanner:
 
                     local = sharded_count_cols(
                         dh, grp.values_dev, grp.masks_dev,
-                        end_local, self.mesh,
+                        end_local, self.mesh, assume_homogeneous=True,
                     )
                 elif not dh.tiled:
                     local = jnp.asarray(
@@ -215,7 +215,7 @@ class StreamingScanner:
 
                     local = sharded_find_cols(
                         dh, grp.values_dev, grp.masks_dev,
-                        end_local, self.mesh,
+                        end_local, self.mesh, assume_homogeneous=True,
                     )
                 elif not dh.tiled:
                     from ..ops import xla_backend

@@ -136,3 +136,68 @@ def test_exotic_final_mask_pen_full_exact():
         )[0]
     )
     assert got == 123_456
+
+
+def test_width_gap_table_raises():
+    """A mixed-width table straight from build_probe_table (width gap >= 2)
+    violates the kernel contract and must raise, not silently false-negative
+    (r2 regression: a k=4 row in a t=4 table passed the old guard and its
+    zero-mask slots compared unmasked)."""
+    from sliceslice_tpu.needle import build_probe_table
+    from sliceslice_tpu.ops import scan_kernel
+    from sliceslice_tpu.ops.layout import preprocess
+
+    hay = b"xxxxabcdyyyy" + bytes(20_000) + b"0123456789abcdef" + bytes(100)
+    dh = preprocess(hay, kh=16, force_cols=True)
+    values, masks, lengths = build_probe_table([b"abcd", b"0123456789abcdef"])
+    ends = np.maximum(len(hay) - lengths + 1, 0).astype(np.int32)
+    for fn in (scan_kernel.batched_find_cols, scan_kernel.batched_count_cols):
+        with pytest.raises(ValueError, match="width contract"):
+            fn(None, values, masks, ends, s=dh.s, pw=dh.windows())
+
+
+def test_sharded_width_gap_regroups_exactly():
+    """The sharded entry point regroups mixed widths instead of raising —
+    and padding rows (all-zero masks) ride along without a spurious group."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    from sliceslice_tpu.needle import build_probe_table
+    from sliceslice_tpu.ops.layout import preprocess
+    from sliceslice_tpu.parallel import make_mesh, sharded_find_cols
+    from sliceslice_tpu.ops.scan_math import SENTINEL
+
+    rng = np.random.default_rng(3)
+    hay = bytes(rng.integers(97, 102, (120_000,), dtype=np.uint8))
+    dh = preprocess(hay, kh=16)
+    needles = [hay[50:54], hay[60_000:60_016], b"nope"]
+    values, masks, lengths = build_probe_table(needles)
+    # Append an explicit padding row (mask 0, end 0).
+    values = np.pad(values, ((0, 1), (0, 0)))
+    masks = np.pad(masks, ((0, 1), (0, 0)))
+    ends = np.append(
+        np.maximum(len(hay) - lengths + 1, 0).astype(np.int64), 0
+    )
+    mesh = make_mesh((4, 1), jax.devices()[:4])
+    got = np.asarray(sharded_find_cols(dh, values, masks, ends, mesh))
+    exp = [hay.find(nd) for nd in needles]
+    for e, o in zip(exp, got[:3]):
+        assert (None if o >= SENTINEL else int(o)) == (None if e < 0 else e)
+    assert got[3] >= SENTINEL  # padding row reports no match
+
+
+def test_ensure_halo_cached_and_preserving():
+    from sliceslice_tpu.ops.layout import preprocess
+
+    data = bytes(np.random.default_rng(0).integers(97, 105, (40_000,),
+                                                   dtype=np.uint8))
+    dh = preprocess(data, kh=8, force_cols=True, windows_only=True)
+    assert dh.cols is None and dh.pw is not None
+    w1 = dh.ensure_halo(64)
+    w2 = dh.ensure_halo(64)
+    assert w1 is w2  # one cached rebuild, not one per call
+    assert dh.ensure_halo(40) is w1  # smaller demands reuse the cache too
+    assert dh.ensure_halo(dh.kh) is dh  # this layout suffices -> itself
+    assert w1.kh >= 64
+    assert w1.cols is None and w1.pw is not None  # windows_only preserved

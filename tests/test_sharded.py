@@ -223,3 +223,47 @@ def test_sharded_count_matches_oracle(corpus, shape):
     got = ShardedBatchedSearcher(needles, mesh).count_all(dh)
     exp = np.array([overlapping_count(corpus, nd) for nd in needles])
     assert (got == exp).all()
+
+
+def test_sharded_searcher_consumes_global_corpus(corpus):
+    """ShardedBatchedSearcher accepts a (single-process) GlobalCorpus —
+    the multi-host corpus object — without relayout or bytes conversion."""
+    from sliceslice_tpu.parallel.distributed import (
+        assemble_global_corpus,
+        global_mesh,
+    )
+
+    mesh = global_mesh()
+    s = 96
+    kh = 32
+    seg = s * 128
+    g = -(-len(corpus) // seg)
+    g = -(-g // 8) * 8  # divisible by the 8-way data axis
+    gc = assemble_global_corpus(
+        corpus, b"", len(corpus), s, kh, mesh, g_local=g
+    )
+    needles = [corpus[100:108], corpus[seg - 3 : seg + 5], b"nope!", b"a"]
+    sb = ShardedBatchedSearcher(needles, mesh)
+    got = sb.find_all(gc)
+    exp = [naive_find(corpus, nd) for nd in needles]
+    assert list(got) == [(-1 if e is None else e) for e in exp]
+    from sliceslice_tpu.searcher import overlapping_count
+
+    cnt = sb.count_all(gc)
+    assert list(cnt) == [overlapping_count(corpus, nd) for nd in needles]
+    # Halo too small for the needle set -> clear error, no silent relayout.
+    sb_wide = ShardedBatchedSearcher([corpus[:120]], mesh)
+    with pytest.raises(ValueError, match="halo"):
+        sb_wide.find_all(gc)
+
+
+def test_sharded_long_needle_block_cap(corpus):
+    """Long-needle sharded tables respect the SMEM block cap (was 256
+    regardless of width — ~1 MiB of SMEM tables at t=512)."""
+    mesh = make_mesh((2, 1), jax.devices()[:2])
+    dh = preprocess(corpus, kh=1024)
+    needles = [corpus[1000:1000 + 900], corpus[5000:5000 + 901]]
+    values, masks, lengths = build_probe_table(needles)
+    ends = np.maximum(dh.length - lengths.astype(np.int64) + 1, 0)
+    got = np.asarray(sharded_find_cols(dh, values, masks, ends, mesh))
+    assert list(got) == [1000, 5000]
