@@ -251,6 +251,11 @@ def test_sharded_searcher_consumes_global_corpus(corpus):
 
     cnt = sb.count_all(gc)
     assert list(cnt) == [overlapping_count(corpus, nd) for nd in needles]
+    from sliceslice_tpu.searcher import _host_positions
+
+    pos = sb.positions_all(gc)
+    for nd, p in zip(needles, pos):
+        assert np.array_equal(p, _host_positions(corpus, nd)), nd
     # Halo too small for the needle set -> clear error, no silent relayout.
     sb_wide = ShardedBatchedSearcher([corpus[:120]], mesh)
     with pytest.raises(ValueError, match="halo"):
