@@ -7,6 +7,8 @@ Rows:
                                  itself Crochemore-Perrin like memmem)
 * native SWAR (C++)           — this repo's CPU competitor
                                  (sse4-strstr-wrapper analogue)
+* native Two-Way (C++)        — from-scratch Crochemore-Perrin
+                                 (twoway/memmem competitor row analogue)
 * sliceslice_tpu batched      — the TPU framework, sustained
 * sliceslice_tpu pairwise     — the TPU short-sweep kernel
 
@@ -58,6 +60,10 @@ def main():
         rows.append(
             ("native SWAR (C++)",
              fmt(timed(lambda: native.swar_find_batch(hay, words))))
+        )
+        rows.append(
+            ("native Two-Way (C++)",
+             fmt(timed(lambda: native.twoway_find_batch(hay, words))))
         )
     if on_tpu:
         dh = st.preprocess(hay, kh=24, seg_rows=1024)

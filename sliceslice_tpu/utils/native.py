@@ -18,7 +18,10 @@ from typing import Optional, Sequence
 import numpy as np
 
 _CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
-_SRC = os.path.abspath(os.path.join(_CSRC, "swarscan.cpp"))
+_SRCS = [
+    os.path.abspath(os.path.join(_CSRC, "swarscan.cpp")),
+    os.path.abspath(os.path.join(_CSRC, "twoway.cpp")),
+]
 _SO = os.path.abspath(os.path.join(_CSRC, "build", "libswarscan.so"))
 
 _lib = None
@@ -27,12 +30,14 @@ _tried = False
 
 def _build() -> Optional[str]:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+    if os.path.exists(_SO) and all(
+        os.path.getmtime(_SO) >= os.path.getmtime(src) for src in _SRCS
+    ):
         return _SO
     for cxx in ("g++", "clang++", "c++"):
         try:
             subprocess.run(
-                [cxx, "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+                [cxx, "-O3", "-march=native", "-shared", "-fPIC", *_SRCS,
                  "-o", _SO],
                 check=True,
                 capture_output=True,
@@ -93,6 +98,16 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
         np.ctypeslib.ndpointer(np.int8),
     ]
+    lib.twoway_find.restype = ctypes.c_int64
+    lib.twoway_find.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.twoway_find_batch.restype = None
+    lib.twoway_find_batch.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64),
+    ]
     lib.decode_bitmap_count.restype = ctypes.c_int64
     lib.decode_bitmap_count.argtypes = [
         np.ctypeslib.ndpointer(np.uint32), ctypes.c_int64,
@@ -133,6 +148,27 @@ def swar_find_batch(hay: bytes, needles: Sequence[bytes]) -> np.ndarray:
     flat, offsets = _pack(needles)
     out = np.empty(len(needles), dtype=np.int64)
     lib.swar_find_batch(hay, len(hay), flat, offsets, len(needles), out)
+    return out
+
+
+def twoway_find(hay: bytes, needle: bytes) -> Optional[int]:
+    """First occurrence via the from-scratch Two-Way scanner
+    (csrc/twoway.cpp) — the measured counterpart of the reference's
+    twoway/memmem competitor rows."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native twoway unavailable (no C++ toolchain)")
+    r = lib.twoway_find(hay, len(hay), needle, len(needle))
+    return None if r < 0 else int(r)
+
+
+def twoway_find_batch(hay: bytes, needles: Sequence[bytes]) -> np.ndarray:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native twoway unavailable (no C++ toolchain)")
+    flat, offsets = _pack(needles)
+    out = np.empty(len(needles), dtype=np.int64)
+    lib.twoway_find_batch(hay, len(hay), flat, offsets, len(needles), out)
     return out
 
 

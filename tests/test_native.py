@@ -92,3 +92,44 @@ def test_decode_bitmap_differential(rng):
     # empty map
     z = np.zeros((2, 4, 128), np.uint32)
     assert native.decode_bitmap(z, 128).size == 0
+
+
+def test_twoway_differential(rng):
+    """From-scratch Two-Way (csrc/twoway.cpp) == bytes.find on adversarial
+    inputs: periodic needles, critical-factorization edge cases, small
+    alphabets, boundaries."""
+    from sliceslice_tpu.utils import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    hay = bytes(rng.integers(97, 100, (60_000,), dtype=np.uint8))
+    cases = [
+        b"a", b"ab", b"ba", b"aaaa", b"abab", b"aabaab", b"abaab",
+        b"aabaa", b"abcabcab", b"zzzz", hay[:7], hay[100:123],
+        hay[-9:], hay[30_000:30_040], b"aaaaaaaab", b"baaaaaaaa",
+    ]
+    for nd in cases:
+        exp = hay.find(nd)
+        got = native.twoway_find(hay, nd)
+        assert (got if got is not None else -1) == exp, nd
+    # empty needle matches at 0
+    assert native.twoway_find(hay, b"") == 0
+    # needle longer than haystack
+    assert native.twoway_find(b"ab", b"abc") is None
+    # randomized sweep over a tiny alphabet (period-heavy content)
+    tiny = bytes(rng.integers(97, 99, (4_000,), dtype=np.uint8))
+    for _ in range(400):
+        k = int(rng.integers(1, 40))
+        if rng.random() < 0.5:
+            i = int(rng.integers(0, len(tiny) - k))
+            nd = tiny[i : i + k]
+        else:
+            nd = bytes(rng.integers(97, 99, (k,), dtype=np.uint8))
+        exp = tiny.find(nd)
+        got = native.twoway_find(tiny, nd)
+        assert (got if got is not None else -1) == exp, nd
+    # batched
+    got = native.twoway_find_batch(hay, cases)
+    assert list(got) == [hay.find(nd) for nd in cases]
