@@ -53,3 +53,33 @@ def test_fuzz_pairwise(words):
             exp = h.find(n)
             assert got_c[i, j] == (exp >= 0), (n, h)
             assert got_f[i, j] == exp, (n, h)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    hay=_bytes(b"ab", 60_000),
+    needles=st_.lists(_bytes(b"ab", 16), min_size=1, max_size=4),
+    window=st_.integers(min_value=9_000, max_value=30_000),
+)
+def test_fuzz_streaming_windows(hay, needles, window):
+    """Random window geometry x period-heavy content: find/count parity
+    across window boundaries (the classic off-by-one surface)."""
+    from sliceslice_tpu.searcher import overlapping_count
+    from sliceslice_tpu.utils.streaming import StreamingScanner
+
+    if any(len(nd) == 0 for nd in needles):
+        needles = [nd or b"a" for nd in needles]
+    sc = StreamingScanner(needles, window_bytes=window)
+
+    def chunks():
+        step = max(1, window // 3 + 7)
+        for i in range(0, len(hay), step):
+            yield hay[i : i + step]
+
+    got = sc.find_in_chunks(chunks(), early_stop=False)
+    for nd, o in zip(needles, got):
+        exp = naive_find(hay, nd)
+        assert (None if o < 0 else int(o)) == exp, (nd, window)
+    cnt = sc.count_in_chunks(chunks())
+    for nd, c in zip(needles, cnt):
+        assert int(c) == overlapping_count(hay, nd), (nd, window)
