@@ -201,3 +201,40 @@ def test_ensure_halo_cached_and_preserving():
     assert dh.ensure_halo(dh.kh) is dh  # this layout suffices -> itself
     assert w1.kh >= 64
     assert w1.cols is None and w1.pw is not None  # windows_only preserved
+
+
+def test_state_size_pinning():
+    """The reference pins its searcher struct sizes (src/x86.rs:567-587:
+    Avx2Searcher 128 B, DynamicAvx2Searcher 160 B) to catch accidental
+    state bloat; the analogue here pins the preprocessed DEVICE state:
+    probe tables are exactly 8 bytes per (needle, probe slot), and the
+    corpus layout is ~5 bytes per corpus byte (1 tile + 4 window), ~4
+    windows-only."""
+    from sliceslice_tpu import BatchedSearcher
+    from sliceslice_tpu.needle import num_probes
+    from sliceslice_tpu.ops.layout import LANES, preprocess
+
+    needles = [b"ab", b"abcde", b"abcdefghij", b"x" * 33]
+    bs = BatchedSearcher(needles)
+    for grp in bs.groups:
+        assert grp.values_dev.dtype.itemsize == 4
+        assert grp.values_dev.nbytes == grp.n_pad * grp.t * 4
+        assert grp.masks_dev.nbytes == grp.n_pad * grp.t * 4
+    # per-needle state: 8 bytes x ceil(k/4) slots (plus block padding)
+    for nd in needles:
+        assert num_probes(len(nd)) * 8 == 2 * 4 * -(-len(nd) // 4)
+
+    data = bytes(np.random.default_rng(1).integers(97, 105, (200_000,),
+                                                   dtype=np.uint8))
+    dh = preprocess(data, kh=32)
+    tile_b = dh.cols.nbytes
+    win_b = dh.windows().nbytes
+    total = dh.g * (dh.s + dh.kh) * LANES
+    assert tile_b == total  # uint8 tiles: 1 byte per padded position
+    assert win_b == dh.g * (dh.s + dh.kh - 3) * LANES * 4
+    # Per PADDED position the footprint is exactly <= 5 bytes (1 tile +
+    # 4 window; the window rows omit the last 3 halo rows), ~4 windows-only.
+    assert (tile_b + win_b) / total <= 5.0
+    dh2 = preprocess(data, kh=32, windows_only=True)
+    assert dh2.cols is None
+    assert dh2.windows().nbytes / total <= 4.0
