@@ -105,6 +105,57 @@ def fuzz_streaming(rounds: int, rng) -> tuple:
     return trials, fails
 
 
+def fuzz_sharded(rounds: int, rng) -> tuple:
+    """Random content/mesh shapes through the sharded scanner (find, count
+    and positions) vs the host oracles — including the forced-int64 pair
+    path and boundary-straddling needles.  Uses whatever devices exist
+    (8-way virtual meshes in CI; a (1,1) mesh on a single chip)."""
+    import jax
+
+    from sliceslice_tpu.parallel import ShardedBatchedSearcher, make_mesh
+    from sliceslice_tpu.searcher import _host_positions, overlapping_count
+
+    n_dev = len(jax.devices())
+    shapes = [(n_dev, 1)]
+    if n_dev % 2 == 0 and n_dev > 1:
+        shapes.append((n_dev // 2, 2))
+    fails = trials = 0
+    for rnd in range(rounds):
+        L = int(rng.integers(60_000, 250_000))
+        lo, hi = (97, 103) if rnd % 2 else (0, 256)
+        hay = rng.integers(lo, hi, L, dtype=np.uint8).tobytes()
+        dh = st.preprocess(hay, kh=32, force_cols=True, seg_rows=64)
+        needles = gen_needles(hay, 1, rng, dh.seg_bytes)[:24]
+        exp_find = np.array([hay.find(w) for w in needles])
+        for shape in shapes:
+            mesh = make_mesh(shape, jax.devices()[: shape[0] * shape[1]])
+            sb = ShardedBatchedSearcher(needles, mesh)
+            sb.force_int64 = bool(rng.integers(0, 2))
+            got = sb.find_all(dh)
+            bad = got != exp_find
+            trials += len(needles)
+            if bad.any():
+                fails += int(bad.sum())
+                i = int(np.argmax(bad))
+                print("SHARD FIND MISMATCH", shape, needles[i],
+                      got[i], exp_find[i])
+            sub = needles[::5]
+            sbc = ShardedBatchedSearcher(sub, mesh)
+            cnt = sbc.count_all(dh)
+            cexp = np.array([overlapping_count(hay, w) for w in sub])
+            trials += len(sub)
+            if (cnt != cexp).any():
+                fails += int((cnt != cexp).sum())
+                print("SHARD COUNT MISMATCH", shape)
+            pos = sbc.positions_all(dh)
+            trials += len(sub)
+            for w, p in zip(sub, pos):
+                if not np.array_equal(p, _host_positions(hay, w)):
+                    fails += 1
+                    print("SHARD POSITIONS MISMATCH", shape, w)
+    return trials, fails
+
+
 def fuzz_pairwise(rounds: int, rng) -> tuple:
     """Random mixed-length word lists (binary bytes, shared prefixes,
     duplicates, 1-char words) through PairwiseSearcher.first_matrix vs the
@@ -170,11 +221,12 @@ def main() -> int:
                 print("COUNT MISMATCH", L, kw)
     st_trials, st_fails = fuzz_streaming(max(2, rounds // 2), rng)
     pw_trials, pw_fails = fuzz_pairwise(max(2, rounds // 2), rng)
-    trials += st_trials + pw_trials
-    fails += st_fails + pw_fails
+    sh_trials, sh_fails = fuzz_sharded(max(2, rounds // 3), rng)
+    trials += st_trials + pw_trials + sh_trials
+    fails += st_fails + pw_fails + sh_fails
     print(f"fuzz campaign: {trials} trials ({st_trials} streaming, "
-          f"{pw_trials} pairwise) over {len(LAYOUTS)} layouts, "
-          f"{fails} failures")
+          f"{pw_trials} pairwise, {sh_trials} sharded) over "
+          f"{len(LAYOUTS)} layouts, {fails} failures")
     return 1 if fails else 0
 
 
