@@ -69,42 +69,68 @@ def split_needles(arg: bytes) -> list:
     return needles
 
 
-def search_in_file(backend: str, needle: bytes, path: str):
-    """Returns (found: bool, offset: int|None) — one search, grep-style."""
-    if backend == "count":
-        # grep -c analogue (overlapping occurrences), comma-separated needles.
+def make_searcher(backend: str, needle: bytes):
+    """Build the backend's searcher ONCE (probe tables, groups, jit
+    programs amortize across every file argument — the library's
+    preprocess-once contract applied to the CLI itself)."""
+    if backend in ("count", "batched", "positions"):
         needles = split_needles(needle)
-        dh = load_haystack(path, kh=max(max(len(n) for n in needles), 4))
-        counts = BatchedSearcher(needles).count_all(dh)
-        return [(int(c) > 0, int(c)) for c in counts]
-    if backend == "batched":
-        needles = split_needles(needle)
-        dh = load_haystack(path, kh=max(max(len(n) for n in needles), 4))
-        offs = BatchedSearcher(needles).find_all(dh)
-        return [(o >= 0, None if o < 0 else int(o)) for o in offs]
+        return BatchedSearcher(needles)
     if backend == "stream":
-        # Windowed streaming scan: any file size, int64-exact offsets.
         from .utils.streaming import StreamingScanner
 
-        needles = split_needles(needle)
-        offs = StreamingScanner(needles).find_in_file(path)
-        return [(o >= 0, None if o < 0 else int(o)) for o in offs]
-    if backend == "positions":
-        # grep -b analogue: every overlapping match offset per needle.
-        needles = split_needles(needle)
-        dh = load_haystack(path, kh=max(max(len(n) for n in needles), 4))
-        pos = BatchedSearcher(needles).positions_all(dh)
-        return [(p.size > 0, p) for p in pos]
+        return StreamingScanner(split_needles(needle))
     cls = BACKENDS.get(backend)
     if cls is None:
         raise SystemExit(
             f"unknown backend {backend!r}; choose from "
             f"{sorted(BACKENDS) + ['batched', 'count', 'positions', 'stream']}"
         )
-    dh = load_haystack(path, kh=max(len(needle), 4))
-    s = cls(needle)
-    off = s.find(dh)
+    return cls(needle)
+
+
+def _load_for(searcher, backend: str, path: str):
+    """Device layout with the halo the searcher will actually need (sized
+    from its bucketed probe widths, so ensure_halo never relayouts)."""
+    from .needle import MAX_NEEDLE_LEN, needed_halo, needed_halo_for_t
+
+    if backend in ("count", "batched", "positions"):
+        kh = needed_halo_for_t(searcher.max_t)
+        if searcher._huge:
+            kh = max(kh, 63)  # the huge-needle 64-byte prefix filter
+    else:
+        k = searcher.size
+        kh = needed_halo(min(k, MAX_NEEDLE_LEN)) if k else 4
+    return load_haystack(path, kh=max(kh, 4))
+
+
+def run_on_file(searcher, backend: str, path: str):
+    """Returns (found, offset) — or a per-needle list for multi-needle
+    backends — grep-style."""
+    if backend == "stream":
+        offs = searcher.find_in_file(path)
+        return [(o >= 0, None if o < 0 else int(o)) for o in offs]
+    if backend == "count":
+        dh = _load_for(searcher, backend, path)
+        counts = searcher.count_all(dh)
+        return [(int(c) > 0, int(c)) for c in counts]
+    if backend == "batched":
+        dh = _load_for(searcher, backend, path)
+        offs = searcher.find_all(dh)
+        return [(o >= 0, None if o < 0 else int(o)) for o in offs]
+    if backend == "positions":
+        dh = _load_for(searcher, backend, path)
+        pos = searcher.positions_all(dh)
+        return [(p.size > 0, p) for p in pos]
+    dh = _load_for(searcher, backend, path)
+    off = searcher.find(dh)
     return off is not None, off
+
+
+def search_in_file(backend: str, needle: bytes, path: str):
+    """One-shot convenience: build + run (prefer make_searcher +
+    run_on_file when scanning many files)."""
+    return run_on_file(make_searcher(backend, needle), backend, path)
 
 
 def main(argv=None):
@@ -117,9 +143,10 @@ def main(argv=None):
         return 2
     backend, needle, *files = argv
     needle_b = needle.encode("utf-8")
+    searcher = make_searcher(backend, needle_b)  # once, for every file
     rc = 1
     for path in files:
-        res = search_in_file(backend, needle_b, path)
+        res = run_on_file(searcher, backend, path)
         if backend == "count":
             for nd, (found, c) in zip(split_needles(needle_b), res):
                 print(f"{path}: {nd.decode('utf-8', 'replace')}: {c}")

@@ -82,6 +82,10 @@ class _Group:
         self.indices_dev = jnp.asarray(indices, jnp.int32)
         self._ends_cache: dict[int, jnp.ndarray] = {}
 
+    #: retained per-haystack-length device ends (FIFO-evicted; a serving
+    #: loop over many distinct corpus lengths must not grow unboundedly).
+    _ENDS_CACHE_CAP = 16
+
     def pad_ends(self, ends: np.ndarray) -> np.ndarray:
         """Zero-pad per-needle ends to the padded row count (end 0 = padded
         slot can never report a match)."""
@@ -97,12 +101,25 @@ class _Group:
                 jnp.int32,
             )
             self._ends_cache[hay_len] = e
+            while len(self._ends_cache) > self._ENDS_CACHE_CAP:
+                self._ends_cache.pop(next(iter(self._ends_cache)))
         return e
 
 
 class BatchedSearcher:
     def __init__(self, needles: Sequence, position: Optional[int] = None):
         self.needles = [as_bytes(n) for n in needles]
+        if position is not None:
+            # Same contract every single-needle searcher enforces
+            # (reference: position < needle.size(), src/x86.rs:300); the
+            # dense kernels don't use position, but accepting an invalid
+            # one here while DynamicSearcher raises would be a trap.
+            for nd in self.needles:
+                if not (0 <= position < len(nd)):
+                    raise ValueError(
+                        f"invalid position {position} for needle of "
+                        f"length {len(nd)}"
+                    )
         # Needles beyond the kernels' probe-table budget take the
         # filter+verify fallback (models/huge.py) — arbitrary-length parity
         # with the reference (src/lib.rs:52-59).  They are excluded from the
@@ -139,7 +156,17 @@ class BatchedSearcher:
         self.max_t = max((g.t for g in self.groups), default=1)
         self._base0 = jnp.asarray([0], jnp.int32)
 
+        #: fused-sweep jit closures keyed by layout shape (FIFO-evicted —
+        #: each entry pins a compiled executable).
         self._sweep_cache: dict = {}
+
+    _SWEEP_CACHE_CAP = 16
+
+    def _sweep_cache_put(self, key, fn):
+        self._sweep_cache[key] = fn
+        while len(self._sweep_cache) > self._SWEEP_CACHE_CAP:
+            self._sweep_cache.pop(next(iter(self._sweep_cache)))
+        return fn
 
     def __len__(self) -> int:
         return len(self.needles)
@@ -173,8 +200,7 @@ class BatchedSearcher:
             ]
             return _scatter_groups(n, blobs, parts)
 
-        self._sweep_cache[key] = sweep
-        return sweep
+        return self._sweep_cache_put(key, sweep)
 
     def _count_sweep_fn(self, dh: DeviceHaystack):
         """Fused occurrence-count sweep (capability extension): every
@@ -203,8 +229,7 @@ class BatchedSearcher:
             ]
             return _scatter_groups(n, blobs, parts)
 
-        self._sweep_cache[key] = sweep
-        return sweep
+        return self._sweep_cache_put(key, sweep)
 
     def count_all_device(self, hay: HaystackLike, _allow_huge: bool = False):
         """Device-resident int32[N] overlapping-occurrence counts (excludes
@@ -258,7 +283,9 @@ class BatchedSearcher:
         # Halo must cover the widest group's probe table — and the huge
         # needles' 64-byte prefix filter, so their positions scan reuses
         # this layout instead of relayouting per needle.
-        need = max(4 * self.max_t - 1, 3)
+        from ..needle import needed_halo_for_t
+
+        need = needed_halo_for_t(self.max_t)
         if self._huge:
             from .huge import PREFIX_LEN
 
@@ -328,8 +355,8 @@ class BatchedSearcher:
             n, tuple(g.indices.tobytes() for g in self.groups), parts
         )
 
-    def search_all(self, hay: HaystackLike, **kw) -> np.ndarray:
-        return self.find_all(hay, **kw) >= 0
+    def search_all(self, hay: HaystackLike) -> np.ndarray:
+        return self.find_all(hay) >= 0
 
     def positions_all(
         self, hay: HaystackLike, batch: int = 16

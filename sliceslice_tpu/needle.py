@@ -7,8 +7,10 @@ program* — a static list of packed little-endian ``uint32`` window compares
 that together prove an exact match.  A needle of length ``k`` compiles to
 ``ceil(k / 4)`` probes:
 
-* full 4-byte windows at offsets ``0, 4, 8, …`` and, when ``k % 4 != 0``, one
-  final overlapping window at offset ``k - 4`` (full mask), or
+* full 4-byte windows at static offsets ``0, 4, 8, …`` and, when
+  ``k % 4 != 0``, a final probe at offset ``4*(t-1)`` whose mask narrows to
+  the remaining ``k % 4`` bytes (offsets stay static per slot — no
+  overlapping window, see :func:`probe_program`), or
 * for ``k < 4``, a single masked probe at offset 0 covering ``k`` bytes.
 
 ``match[i] == AND_t (window32(hay, i + off_t) & mask_t) == value_t``
@@ -101,17 +103,24 @@ def num_probes(k: int) -> int:
     return max(1, -(-k // 4))
 
 
+def needed_halo_for_t(t: int) -> int:
+    """Halo bytes a layout must carry for width-``t`` probe tables: the last
+    probe slot reads packed windows up to row 4*(t-1), whose window spans 3
+    further bytes.  The single source of the width->halo formula (shared by
+    the batched/streaming layout planners and the kernel asserts)."""
+    return max(4 * t - 1, 3)
+
+
 def needed_halo(k: int) -> int:
-    """Halo bytes a layout must carry for needles of length k: the last probe
-    slot reads packed windows up to row 4*(T-1), whose window spans 3 further
-    bytes.  T is rounded up to even beyond the kernels' unroll width (the
-    pair-looped long-needle path appends a no-op slot)."""
+    """Halo bytes for needles of length k.  T is rounded up to even beyond
+    the kernels' unroll width (the pair-looped long-needle path appends a
+    no-op slot)."""
     if k <= 0:
         return 3
     t = num_probes(k)
     if t > 8 and t % 2:
         t += 1
-    return max(4 * t - 1, 3)
+    return needed_halo_for_t(t)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -29,10 +29,16 @@ _tried = False
 
 
 def _build() -> Optional[str]:
-    os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    if os.path.exists(_SO) and all(
-        os.path.getmtime(_SO) >= os.path.getmtime(src) for src in _SRCS
-    ):
+    try:
+        os.makedirs(os.path.dirname(_SO), exist_ok=True)
+        cached = os.path.exists(_SO) and all(
+            os.path.getmtime(_SO) >= os.path.getmtime(src) for src in _SRCS
+        )
+    except OSError:
+        # Read-only install / missing sources: the documented degradation
+        # is pure-Python, never an exception from the search path.
+        return None
+    if cached:
         return _SO
     for cxx in ("g++", "clang++", "c++"):
         try:
@@ -59,6 +65,11 @@ def load() -> Optional[ctypes.CDLL]:
         return None
     try:
         _lib = _bind(ctypes.CDLL(so))
+    except OSError:
+        # Corrupt or ISA-incompatible cached .so (e.g. built with
+        # -march=native on a different host sharing this filesystem):
+        # degrade, don't crash the search path.
+        return None
     except AttributeError:
         # A stale cached .so from an older source (preserved mtimes) can
         # lack newer symbols: force one rebuild, then degrade to None (the
@@ -72,7 +83,7 @@ def load() -> Optional[ctypes.CDLL]:
             return None
         try:
             _lib = _bind(ctypes.CDLL(so))
-        except AttributeError:
+        except (OSError, AttributeError):
             return None
     return _lib
 

@@ -43,15 +43,18 @@ def _file_windows(path, window: int, overlap: int) -> Iterator[bytes]:
 
 
 def _chunk_windows(chunks: Iterable[bytes], window: int, overlap: int):
-    """Re-chunk an arbitrary byte-chunk iterator into overlapping windows."""
-    buf = b""
+    """Re-chunk an arbitrary byte-chunk iterator into overlapping windows.
+    Amortized O(stream) copying: append + in-place front deletion on a
+    bytearray (a bytes buffer would re-copy the whole pending window per
+    chunk — quadratic for small chunks)."""
+    buf = bytearray()
     for c in chunks:
         buf += c
         while len(buf) >= window + overlap:
-            yield buf[: window + overlap]
-            buf = buf[window:]
+            yield bytes(buf[: window + overlap])
+            del buf[:window]
     if buf:
-        yield buf
+        yield bytes(buf)
 
 
 def _host_count_limited(data: bytes, nd: bytes, end: int) -> int:
@@ -94,8 +97,9 @@ class StreamingScanner:
         self.overlap = max(self.batched.max_len - 1, 0)
         self.check_every = check_every
         self.mesh = mesh
-        need = max(4 * self.batched.max_t - 1, 3)
-        self._kh = need
+        from ..needle import needed_halo_for_t
+
+        self._kh = needed_halo_for_t(self.batched.max_t)
 
     def find_in_file(self, path, early_stop: bool = True) -> np.ndarray:
         return self._scan(

@@ -110,3 +110,17 @@ def test_raw_kernel_cols_fallback(rng):
         None, values, masks, ends, s=dh.s, pw=dh.windows()))
     assert (cnt_cols == cnt_pw).all()
     assert cnt_cols[2] == 0 and cnt_cols[0] >= 1
+
+
+def test_batched_position_contract():
+    """BatchedSearcher enforces the same position contract as the
+    single-needle searchers (reference: position < size, src/x86.rs:300)."""
+    import pytest
+
+    from sliceslice_tpu import BatchedSearcher
+
+    BatchedSearcher([b"abc", b"de"], position=1)  # valid for both
+    with pytest.raises(ValueError, match="position"):
+        BatchedSearcher([b"abc", b"de"], position=2)  # valid only for abc
+    with pytest.raises(ValueError, match="position"):
+        BatchedSearcher([b"abc"], position=-1)

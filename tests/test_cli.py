@@ -108,3 +108,16 @@ def test_cli_count_escaped_comma(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "x,y: 10" in out
     assert "y,: 10" in out  # "y," once per 16-byte repeat
+
+
+def test_cli_multiple_files_reuse_searcher(tmp_path, capsys):
+    """One searcher serves every file argument (probe tables and jit
+    programs amortize — the CLI's preprocess-once contract)."""
+    p1 = tmp_path / "a.txt"
+    p2 = tmp_path / "b.txt"
+    p1.write_bytes(b"xxipsumyy" * 500)
+    p2.write_bytes(b"nothing here" * 500)
+    assert main(["batched", "ipsum,zz", str(p1), str(p2)]) == 0
+    out = capsys.readouterr().out
+    assert f"{p1}: ipsum: match at 2" in out
+    assert f"{p2}: ipsum: no match" in out
