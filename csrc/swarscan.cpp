@@ -4,7 +4,9 @@
 // TPU framework's benchmarks — the counterpart of the reference's
 // benchmark-only C++ sse4-strstr wrapper (bench/sse4-strstr/src/wrapper.cpp),
 // re-implemented from scratch with 64-bit SWAR instead of AVX2 intrinsics so
-// it runs on any host CPU.
+// it runs on any little-endian host CPU (the lane extraction maps mask
+// bytes to memory offsets via ctz; big-endian hosts fail the build below
+// and fall back to the pure-Python oracle).
 //
 // Algorithm (Mula-style two-byte filter, expressed in SWAR):
 //   broadcast the needle's first byte and the byte at `position` across a
@@ -18,6 +20,14 @@
 
 #include <cstdint>
 #include <cstring>
+
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ != __ORDER_LITTLE_ENDIAN__
+// The candidate-lane extraction (ctz >> 3 -> byte offset) assumes
+// little-endian loads; failing the BUILD here makes the Python loader
+// degrade to the pure-Python oracle on big-endian hosts instead of
+// silently returning false negatives.
+#error "swarscan requires a little-endian host (loader degrades to Python)"
+#endif
 
 namespace {
 

@@ -93,8 +93,12 @@ int64_t twoway_find(const uint8_t* hay, int64_t n, const uint8_t* x,
     return true;
   };
 
-  if (crit < kk && std::memcmp(x, x + per, crit) == 0 &&
-      crit + per <= kk) {
+  // Bounds first (the memcmp below reads x[per .. per+crit)): provably
+  // always true for maximal_suffix output (per <= suffix length = k-crit),
+  // kept as a cheap guard so a future factorization change cannot turn the
+  // memcmp into an over-read.
+  if (crit < kk && crit + per <= kk &&
+      std::memcmp(x, x + per, crit) == 0) {
     // Periodic case: x[0..crit) is a prefix of x[per..), so after a full
     // right-half match the window shifts by the exact period and `memory`
     // skips re-comparing the remembered prefix.

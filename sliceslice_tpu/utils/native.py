@@ -22,7 +22,34 @@ _SRCS = [
     os.path.abspath(os.path.join(_CSRC, "swarscan.cpp")),
     os.path.abspath(os.path.join(_CSRC, "twoway.cpp")),
 ]
-_SO = os.path.abspath(os.path.join(_CSRC, "build", "libswarscan.so"))
+
+
+def _host_tag() -> str:
+    """Fingerprint of this host's ISA extensions: the cache is compiled
+    with -march=native, so a .so that traveled with the working tree to a
+    different CPU (NFS home, rsync) must MISS and rebuild — dlopen checks
+    only ELF arch, and a stale cache would SIGILL at the first call."""
+    import hashlib
+
+    data = b""
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith(b"flags") or line.startswith(b"Features"):
+                    data = line
+                    break
+    except OSError:
+        pass
+    if not data:
+        import platform
+
+        data = (platform.machine() + platform.processor()).encode()
+    return hashlib.sha1(data).hexdigest()[:10]
+
+
+_SO = os.path.abspath(
+    os.path.join(_CSRC, "build", f"libswarscan-{_host_tag()}.so")
+)
 
 _lib = None
 _tried = False
@@ -40,16 +67,25 @@ def _build() -> Optional[str]:
         return None
     if cached:
         return _SO
+    # Atomic publish: compile to a private temp path, then rename — a
+    # concurrent process can never dlopen a half-written ELF, and a
+    # rebuild never truncates a .so another process has mapped.
+    tmp = f"{_SO}.tmp.{os.getpid()}"
     for cxx in ("g++", "clang++", "c++"):
         try:
             subprocess.run(
                 [cxx, "-O3", "-march=native", "-shared", "-fPIC", *_SRCS,
-                 "-o", _SO],
+                 "-o", tmp],
                 check=True,
                 capture_output=True,
             )
+            os.replace(tmp, _SO)
             return _SO
         except (OSError, subprocess.CalledProcessError):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
             continue
     return None
 
