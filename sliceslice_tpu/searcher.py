@@ -205,7 +205,16 @@ class SearcherBase:
         return dh.host_bytes
 
     def _layout(self, data: bytes) -> DeviceHaystack:
-        return preprocess(data, kh=needed_halo(self.needle.size))
+        # One-slot layout cache: repeated searches of the SAME bytes object
+        # amortize the preprocess (the mmap-once pattern without requiring
+        # the caller to hold a DeviceHaystack).  Keyed by identity with the
+        # bytes kept alive in the slot, so ids can't alias.
+        slot = getattr(self, "_dh_slot", None)
+        if slot is not None and slot[0] is data:
+            return slot[1]
+        dh = preprocess(data, kh=needed_halo(self.needle.size))
+        self._dh_slot = (data, dh)
+        return dh
 
     def _find_device(self, dh: DeviceHaystack):
         raise NotImplementedError
