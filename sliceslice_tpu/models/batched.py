@@ -377,6 +377,11 @@ class BatchedSearcher:
                 )
             return [_host_positions(data, nd) for nd in self.needles]
         out: List[Optional[np.ndarray]] = [None] * len(self.needles)
+        # Readback-bound path: each batch moves corpus/8 bytes per needle
+        # to host.  (A one-batch dispatch lookahead was tried in r2 and
+        # measured NO gain through this host link — transfers don't overlap
+        # the next batch's scan here — so the loop stays simple.)
+        cols = dh.require_cols()
         for g in self.groups:
             vals = np.asarray(g.values_dev)[: g.n]
             msks = np.asarray(g.masks_dev)[: g.n]
@@ -384,7 +389,7 @@ class BatchedSearcher:
             for i0 in range(0, g.n, batch):
                 words = np.asarray(
                     xla_backend.match_bitmap_batched(
-                        dh.require_cols(),
+                        cols,
                         vals[i0 : i0 + batch],
                         msks[i0 : i0 + batch],
                         ends[i0 : i0 + batch],
