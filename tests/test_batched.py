@@ -124,3 +124,26 @@ def test_batched_position_contract():
         BatchedSearcher([b"abc", b"de"], position=2)  # valid only for abc
     with pytest.raises(ValueError, match="position"):
         BatchedSearcher([b"abc"], position=-1)
+
+
+def test_optimize_for_exactness(rng):
+    """Adaptive block scheduling permutes group rows only — results stay
+    exact (including absences and huge needles) after optimize_for."""
+    from sliceslice_tpu import BatchedSearcher, preprocess
+
+    hay = bytes(rng.integers(97, 102, (400_000,), dtype=np.uint8))
+    dh = preprocess(hay, kh=16)
+    needles = [hay[i : i + k] for i, k in
+               [(300_000, 5), (10, 4), (399_990, 8), (100_000, 12), (7, 1)]]
+    needles += [b"QQQQ", hay[200_000:202_500]]  # absent + huge
+    bs = BatchedSearcher(needles)
+    before = bs.find_all(dh)
+    bs.optimize_for(dh)
+    after = bs.find_all(dh)
+    assert (before == after).all()
+    assert (after == oracle_all(hay, needles)).all()
+    # counts and positions ride the same reordered tables
+    cnt = bs.count_all(dh)
+    from sliceslice_tpu.searcher import overlapping_count
+
+    assert list(cnt) == [overlapping_count(hay, nd) for nd in needles]
