@@ -176,6 +176,9 @@ class BatchedSearcher:
         #: fused-sweep jit closures keyed by layout shape (FIFO-evicted —
         #: each entry pins a compiled executable).
         self._sweep_cache: dict = {}
+        #: bumped by optimize_for (group rows permuted) so downstream
+        #: caches of placed tables (ShardedBatchedSearcher) invalidate.
+        self._epoch = 0
 
     _SWEEP_CACHE_CAP = 16
 
@@ -389,8 +392,10 @@ class BatchedSearcher:
         key = np.where(firsts < 0, np.iinfo(np.int64).max, firsts)
         for g in self.groups:
             g.reorder(key[g.indices])
-        # Sweep closures capture each group's index blob — rebuild them.
+        # Sweep closures capture each group's index blob — rebuild them,
+        # and signal downstream placed-table caches.
         self._sweep_cache.clear()
+        self._epoch += 1
         return self
 
     def positions_all(

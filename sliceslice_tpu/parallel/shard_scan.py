@@ -590,7 +590,10 @@ class ShardedBatchedSearcher:
         dh = self._corpus(dh)
         n = len(self.inner)
         pw = dh.windows()  # corpus identity = the packed-window array
-        key = id(pw)
+        # Keyed by corpus identity AND the inner searcher's epoch: an
+        # optimize_for() permutes group rows, so stale placed tables would
+        # pair old row order with new indices.
+        key = (id(pw), self.inner._epoch)
         hit = self._placed_corpus.get(key)
         if hit is None or hit[0] is not pw:
             self._placed_corpus = {

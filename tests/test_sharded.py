@@ -272,3 +272,17 @@ def test_sharded_long_needle_block_cap(corpus):
     ends = np.maximum(dh.length - lengths.astype(np.int64) + 1, 0)
     got = np.asarray(sharded_find_cols(dh, values, masks, ends, mesh))
     assert list(got) == [1000, 5000]
+
+
+def test_sharded_cache_invalidates_on_optimize(corpus):
+    """optimize_for permutes inner group rows; the sharded placed-table
+    cache must invalidate (stale tables would pair old row order with new
+    indices)."""
+    mesh = make_mesh((4, 2))
+    dh = preprocess(corpus, kh=16)
+    needles = [corpus[10:15], b"absent!", corpus[700_000:700_012], b"a"]
+    sb = ShardedBatchedSearcher(needles, mesh)
+    before = sb.find_all(dh)
+    sb.inner.optimize_for(dh)
+    after = sb.find_all(dh)
+    assert (before == after).all()
