@@ -286,3 +286,7 @@ def test_sharded_cache_invalidates_on_optimize(corpus):
     sb.inner.optimize_for(dh)
     after = sb.find_all(dh)
     assert (before == after).all()
+    # the sharded-level optimizer (measuring sweep runs on the mesh)
+    sb.optimize_for(dh)
+    assert (sb.find_all(dh) == before).all()
+    assert (sb.count_all(dh) >= 0).all()
