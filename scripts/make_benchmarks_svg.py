@@ -31,7 +31,7 @@ ROWS = [
     ("C++ SWAR scanner (this host, csrc/)", 101.0, None, False),
     ("sse4-strstr avx2 C++ (i7-6700)", 38.6, 75.5, False),
     ("sliceslice v0.2.0 (i7-6700)", 35.2, 79.4, False),
-    ("sliceslice_tpu (1x TPU v5e, sustained)", 2.46, 1.13, True),
+    ("sliceslice_tpu (1x TPU v5e, sustained)", 2.50, 1.13, True),
 ]
 
 PANELS = [

@@ -79,7 +79,6 @@ class _Group:
         rowpad = ((0, self.n_pad - self.n), (0, 0))
         self.values_dev = jnp.asarray(np.pad(vals, rowpad), jnp.uint32)
         self.masks_dev = jnp.asarray(np.pad(msks, rowpad), jnp.uint32)
-        self.indices_dev = jnp.asarray(indices, jnp.int32)
         self._ends_cache: dict[int, jnp.ndarray] = {}
 
     #: retained per-haystack-length device ends (FIFO-evicted; a serving
@@ -107,7 +106,6 @@ class _Group:
         msks[: self.n] = msks[: self.n][perm]
         self.values_dev = jnp.asarray(vals, jnp.uint32)
         self.masks_dev = jnp.asarray(msks, jnp.uint32)
-        self.indices_dev = jnp.asarray(self.indices, jnp.int32)
         self._ends_cache.clear()
 
     def ends_dev(self, hay_len: int) -> jnp.ndarray:
@@ -384,19 +382,24 @@ class BatchedSearcher:
         needles that finish together share kernel blocks and blocks retire
         as early as possible (a block walks segments until its SLOWEST
         needle is found).  Results are exact regardless of row order — only
-        scheduling changes.  Measured on the i386 word sweep: 3.07 ->
-        2.48 ms/sweep (~19%) with this ordering; pays for itself after a
+        scheduling changes.  Measured on the i386 word sweep: 3.05 ->
+        2.46 ms/sweep (+24% throughput); pays for itself after a
         handful of repeated sweeps over corpora with similar match
         statistics (the preprocess-once serving pattern).  Returns self."""
-        firsts = self.find_all(hay)
+        self._apply_schedule(self.find_all(hay))
+        return self
+
+    def _apply_schedule(self, firsts: np.ndarray) -> None:
+        """Apply a measured first-offset schedule: reorder group rows,
+        rebuild the sweep closures (they capture index blobs), and bump the
+        epoch so downstream placed-table caches invalidate.  Shared by the
+        single-chip and sharded optimizers (each supplies its own
+        measuring sweep)."""
         key = np.where(firsts < 0, np.iinfo(np.int64).max, firsts)
         for g in self.groups:
             g.reorder(key[g.indices])
-        # Sweep closures capture each group's index blob — rebuild them,
-        # and signal downstream placed-table caches.
         self._sweep_cache.clear()
         self._epoch += 1
-        return self
 
     def positions_all(
         self, hay: HaystackLike, batch: int = 16

@@ -665,12 +665,7 @@ class ShardedBatchedSearcher:
         BatchedSearcher.optimize_for): one sharded sweep measures first
         offsets, group rows reorder so blocks retire together on every
         shard; the epoch bump invalidates the placed-table cache."""
-        firsts = self.find_all(dh)
-        key = np.where(firsts < 0, np.iinfo(np.int64).max, firsts)
-        for g in self.inner.groups:
-            g.reorder(key[g.indices])
-        self.inner._sweep_cache.clear()
-        self.inner._epoch += 1
+        self.inner._apply_schedule(self.find_all(dh))
         return self
 
     def search_all(self, dh) -> np.ndarray:

@@ -289,4 +289,8 @@ def test_sharded_cache_invalidates_on_optimize(corpus):
     # the sharded-level optimizer (measuring sweep runs on the mesh)
     sb.optimize_for(dh)
     assert (sb.find_all(dh) == before).all()
-    assert (sb.count_all(dh) >= 0).all()
+    from sliceslice_tpu.searcher import overlapping_count
+
+    assert list(sb.count_all(dh)) == [
+        overlapping_count(corpus, nd) for nd in needles
+    ]
