@@ -75,6 +75,11 @@ class _Group:
         self.n = len(needles)
         vals, msks, lens = build_probe_table(needles, t_max=t)
         self.lengths = lens
+        # Host copies stay alongside the device tables: the positions paths
+        # slice rows on host, and reading them back per call would be an
+        # avoidable device->host transfer.
+        self.values_host = vals
+        self.masks_host = msks
         _, self.n_pad = scan_kernel.plan_block(self.n, t)
         rowpad = ((0, self.n_pad - self.n), (0, 0))
         self.values_dev = jnp.asarray(np.pad(vals, rowpad), jnp.uint32)
@@ -100,6 +105,8 @@ class _Group:
         perm = np.argsort(key, kind="stable")
         self.indices = self.indices[perm]
         self.lengths = self.lengths[perm]
+        self.values_host = self.values_host[perm]
+        self.masks_host = self.masks_host[perm]
         vals = np.array(self.values_dev)  # writable host copies
         msks = np.array(self.masks_dev)
         vals[: self.n] = vals[: self.n][perm]
@@ -426,8 +433,8 @@ class BatchedSearcher:
         # the next batch's scan here — so the loop stays simple.)
         cols = dh.require_cols()
         for g in self.groups:
-            vals = np.asarray(g.values_dev)[: g.n]
-            msks = np.asarray(g.masks_dev)[: g.n]
+            vals = g.values_host  # host copies kept at build time — no
+            msks = g.masks_host   # device->host table readback per call
             ends = np.maximum(dh.length - g.lengths + 1, 0).astype(np.int32)
             for i0 in range(0, g.n, batch):
                 words = np.asarray(

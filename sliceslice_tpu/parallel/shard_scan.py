@@ -227,8 +227,11 @@ def sharded_find_cols(
     real = eff > 0  # all-zero rows are padding (end 0 — never match)
     if (eff[real] == values_np.shape[1]).all():
         # Homogeneous (padding rows ride along; the kernels tolerate them).
+        # Pass the host copies (already materialized for width detection) so
+        # the premask/width-contract guards below run even for device-array
+        # inputs with exotic final masks.
         return _sharded_homogeneous(
-            dh, values, masks, ends, mesh, nblk, interpret, mode,
+            dh, values_np, masks_np, ends, mesh, nblk, interpret, mode,
             force_int64,
         )
     ends_np = np.asarray(ends)
@@ -473,6 +476,13 @@ def sharded_positions(
     masks = np.asarray(masks, np.uint32)
     values = values & masks
     n, t = values.shape
+    if 4 * t - 1 > dh.kh:
+        # Same halo-sufficiency contract as the find/count paths (the bitmap
+        # op reads packed windows up to row 4*(t-1)+3 past each segment).
+        raise ValueError(
+            f"probe table width {t} needs {4 * t - 1} halo bytes, layout "
+            f"has {dh.kh}"
+        )
     ends64 = np.asarray(ends, dtype=np.int64)
     bases = np.arange(n_data, dtype=np.int64) * shard_bytes
     ends2d = np.clip(
@@ -543,6 +553,8 @@ class ShardedBatchedSearcher:
         self._placed_tables = None
         self._placed_corpus: dict = {}
 
+    _PLACED_CACHE_CAP = 16
+
     def __len__(self):
         return len(self.inner)
 
@@ -596,9 +608,12 @@ class ShardedBatchedSearcher:
         key = (id(pw), self.inner._epoch)
         hit = self._placed_corpus.get(key)
         if hit is None or hit[0] is not pw:
-            self._placed_corpus = {
-                key: (pw, self._tables(dh.length))
-            }
+            # FIFO capacity like the single-chip _sweep_cache: a serving loop
+            # alternating several corpora re-places nothing after warmup.
+            # Entries hold a strong ref to pw, so a live key's id is stable.
+            self._placed_corpus[key] = (pw, self._tables(dh.length))
+            while len(self._placed_corpus) > self._PLACED_CACHE_CAP:
+                self._placed_corpus.pop(next(iter(self._placed_corpus)))
         tabs = self._placed_corpus[key][1]
         parts = []
         blobs = []
@@ -643,8 +658,8 @@ class ShardedBatchedSearcher:
         dh = self._corpus(dh)
         out: list = [None] * len(self.inner)
         for grp in self.inner.groups:
-            vals = np.asarray(grp.values_dev)[: grp.n]
-            msks = np.asarray(grp.masks_dev)[: grp.n]
+            vals = grp.values_host  # host copies kept at build time — no
+            msks = grp.masks_host   # device->host table readback per call
             ends = np.maximum(
                 np.int64(dh.length) - grp.lengths.astype(np.int64) + 1, 0
             )

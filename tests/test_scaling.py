@@ -41,7 +41,8 @@ def test_granularity_efficiency_model():
     # communication term only matters for tiny shards.
     big = predicted_efficiency(g=256, n=8, bytes_per_shard=32 * 2**20)
     tiny = predicted_efficiency(g=256, n=8, bytes_per_shard=64 * 2**10)
-    assert big > 0.99
+    # Comm term models the real traffic (two 4*N-byte pmins per batch).
+    assert big > 0.98
     assert tiny < big
     with pytest.raises(ValueError):
         granularity_efficiency(0, 4)
