@@ -15,6 +15,16 @@ Device math is window-LOCAL int32 (each window is far below 2 GiB); the
 global offset is folded on host in int64, so streams of any length — well
 past the 2 GiB int32 range — report exact first-match offsets (the
 reference is offset-size agnostic via usize, src/lib.rs:253-287).
+
+All three query modes run over streams: ``find`` (first offset, early
+stop), ``count`` (overlapping totals), and ``positions`` (every offset —
+the streamed ``find_iter`` capability; per-window packed bitmaps decoded
+on host with the window's int64 base).  Needles of ANY length are
+accepted, matching the reference's no-limit contract (src/lib.rs:52-59):
+needles beyond the kernels' probe-table budget take the filter+verify
+fallback (models/huge.py) against each window's host bytes — the overlap
+then covers the full needle, so every match is contained in the window
+where it starts.
 """
 
 from __future__ import annotations
@@ -32,10 +42,12 @@ from ..ops.layout import preprocess
 from ..ops.scan_math import SENTINEL
 
 
-def _file_windows(path, window: int, overlap: int) -> Iterator[bytes]:
+def _file_windows(
+    path, window: int, overlap: int, start: int = 0
+) -> Iterator[bytes]:
     size = os.path.getsize(path)
     with open(path, "rb") as f:
-        base = 0
+        base = start
         while base < size:
             f.seek(base)
             yield f.read(window + overlap)
@@ -67,6 +79,16 @@ def _host_count_limited(data: bytes, nd: bytes, end: int) -> int:
     return c
 
 
+def _host_positions_limited(data: bytes, nd: bytes, end: int) -> np.ndarray:
+    """Overlapping match offsets of ``nd`` at positions < ``end``."""
+    out = []
+    p = data.find(nd)
+    while 0 <= p < end:
+        out.append(p)
+        p = data.find(nd, p + 1)
+    return np.asarray(out, dtype=np.int64)
+
+
 class StreamingScanner:
     """Windowed scan of arbitrarily long byte streams.
 
@@ -74,7 +96,12 @@ class StreamingScanner:
     sharded kernels (parallel/shard_scan.py), composing the two scale
     dimensions: streams beyond any single device's memory AND corpora
     beyond one chip's bandwidth (windows sharded over the data axis, the
-    same exactly-once rules at both window and shard boundaries)."""
+    same exactly-once rules at both window and shard boundaries).
+
+    ``window_bytes`` is raised to the overlap (longest needle - 1) when a
+    needle exceeds it, bounding read amplification at 2x; huge needles
+    (beyond MAX_NEEDLE_LEN) keep each window's host bytes for the verify
+    step of their filter+verify path."""
 
     def __init__(
         self,
@@ -84,43 +111,113 @@ class StreamingScanner:
         mesh=None,
     ):
         self.batched = BatchedSearcher(needles)
-        if self.batched._huge:
-            # The huge-needle fallback verifies against retained host bytes;
-            # streamed windows keep none (and a >2 KiB needle would demand a
-            # same-sized window overlap).  Scan such needles over a
-            # preprocessed DeviceHaystack instead.
-            raise ValueError(
-                "StreamingScanner does not support needles longer than "
-                "MAX_NEEDLE_LEN; use BatchedSearcher on a preprocessed corpus"
-            )
-        self.window = window_bytes
-        self.overlap = max(self.batched.max_len - 1, 0)
+        bs = self.batched
+        k_all = max(
+            [bs.max_len] + [hs.size for _, hs in bs._huge], default=0
+        )
+        self.overlap = max(k_all - 1, 0)
+        # A needle longer than the window would otherwise make every window
+        # mostly overlap; growing the window bounds re-read at <= 2x.
+        self.window = max(window_bytes, self.overlap)
         self.check_every = check_every
         self.mesh = mesh
         from ..needle import needed_halo_for_t
 
-        self._kh = needed_halo_for_t(self.batched.max_t)
+        self._kh = needed_halo_for_t(bs.max_t)
+        if bs._huge:
+            from ..models.huge import PREFIX_LEN
 
-    def find_in_file(self, path, early_stop: bool = True) -> np.ndarray:
+            # The huge-needle device filter probes a PREFIX_LEN-byte prefix.
+            self._kh = max(self._kh, PREFIX_LEN - 1)
+        # Kernel-group slots: the per-window scatter zero-inits non-group
+        # (huge) slots, so find folds must never read them as offset-0 hits.
+        self._kernel_slot = np.zeros((len(bs),), dtype=bool)
+        for grp in bs.groups:
+            self._kernel_slot[grp.indices] = True
+
+    # -- window layout ---------------------------------------------------
+
+    def _prep(self, wbytes: bytes, need_cols: bool):
+        """Per-window device layout.  Huge needles keep the window's host
+        bytes (their verify memcmps against them) and byte tiles (their
+        prefix filter is the bitmap op); find/count-only kernel scans keep
+        packed windows only (~4 bytes/byte on device instead of ~5)."""
+        huge = bool(self.batched._huge)
+        return preprocess(
+            wbytes,
+            kh=self._kh,
+            keep_host=huge,
+            windows_only=not (huge or need_cols),
+            force_cols=self.mesh is not None,
+        )
+
+    def _end_h(self, k: int, wlen: int) -> int:
+        """Window-local valid-position bound for a length-``k`` needle:
+        matches starting in the overlap peek belong to the next window; the
+        stream's true end applies in the final window (wlen < window +
+        overlap there, so the min picks it up)."""
+        return min(self.window, wlen - k + 1)
+
+    # -- public API --------------------------------------------------------
+
+    def find_in_file(
+        self, path, early_stop: bool = True, start_offset: int = 0
+    ) -> np.ndarray:
+        """First-match offset per needle (int64[N], -1 absent) over the
+        file's bytes from ``start_offset`` on; offsets are absolute file
+        offsets (scan a tail / resume a partitioned scan)."""
         return self._scan(
-            _file_windows(path, self.window, self.overlap), early_stop
+            _file_windows(path, self.window, self.overlap, start_offset),
+            early_stop,
+            base0=start_offset,
         )
 
     def find_in_chunks(
-        self, chunks: Iterable[bytes], early_stop: bool = True
+        self,
+        chunks: Iterable[bytes],
+        early_stop: bool = True,
+        start_offset: int = 0,
     ) -> np.ndarray:
+        """``start_offset``: global offset of the stream's first byte —
+        reported offsets are start_offset + stream position (resume /
+        split-stream scans; int64 end to end, so offsets past 2^32 are
+        exact through this public path)."""
         return self._scan(
-            _chunk_windows(chunks, self.window, self.overlap), early_stop
+            _chunk_windows(chunks, self.window, self.overlap),
+            early_stop,
+            base0=start_offset,
         )
 
-    def count_in_file(self, path) -> np.ndarray:
+    def count_in_file(self, path, start_offset: int = 0) -> np.ndarray:
         """Overlapping occurrence counts (int64[N]) over the whole stream —
         exact past 2 GiB (per-window int32 device counts, int64 host sum).
         No early stop exists to use (counts need the full stream)."""
-        return self._count(_file_windows(path, self.window, self.overlap))
+        return self._count(
+            _file_windows(path, self.window, self.overlap, start_offset)
+        )
 
     def count_in_chunks(self, chunks: Iterable[bytes]) -> np.ndarray:
         return self._count(_chunk_windows(chunks, self.window, self.overlap))
+
+    def positions_in_file(self, path, start_offset: int = 0) -> list:
+        """ALL (overlapping) match offsets per needle (int64[M] ascending,
+        input order) — the streamed ``find_iter`` capability.  Per-window
+        packed match bitmaps (window/8 bytes per needle), decoded on host
+        with the window's int64 base, so offsets past 2 GiB are exact."""
+        return self._positions(
+            _file_windows(path, self.window, self.overlap, start_offset),
+            base0=start_offset,
+        )
+
+    def positions_in_chunks(
+        self, chunks: Iterable[bytes], start_offset: int = 0
+    ) -> list:
+        return self._positions(
+            _chunk_windows(chunks, self.window, self.overlap),
+            base0=start_offset,
+        )
+
+    # -- internals ---------------------------------------------------------
 
     def _group_ends(self, grp, wlen: int, is_last: bool) -> np.ndarray:
         """Window-local valid-position bounds for one width group: count
@@ -133,65 +230,92 @@ class StreamingScanner:
         )
         return grp.pad_ends(np.maximum(end_local, 0))
 
+    def _fold_huge_find(self, best, dh, wbytes: bytes, base: int) -> None:
+        for i, hs in self.batched._huge:
+            if best[i] >= 0:
+                continue
+            p = hs.find(dh)
+            if p is not None and p < self._end_h(hs.size, len(wbytes)):
+                best[i] = base + p
+
     def _count(self, windows: Iterator[bytes]) -> np.ndarray:
         bs = self.batched
         n = len(bs)
         totals = np.zeros((n,), dtype=np.int64)
-        pending: List[jax.Array] = []
+        pending: List = []
         for wbytes in windows:
-            dh = preprocess(
-                wbytes, kh=self._kh, keep_host=False, windows_only=True,
-                force_cols=self.mesh is not None,
-            )
+            dh = self._prep(wbytes, need_cols=False)
             is_last = len(wbytes) < self.window + self.overlap
-            parts = []
-            blobs = []
-            for grp in bs.groups:
-                end_local = self._group_ends(grp, len(wbytes), is_last)
-                if self.mesh is not None:
-                    from ..parallel.shard_scan import sharded_count_cols
-
-                    local = sharded_count_cols(
-                        dh, grp.values_dev, grp.masks_dev,
-                        end_local, self.mesh, assume_homogeneous=True,
-                    )
-                elif not dh.tiled:
-                    local = jnp.asarray(
-                        [
-                            _host_count_limited(wbytes, nd, int(e))
-                            for nd, e in zip(
-                                [bs.needles[i] for i in grp.indices],
-                                end_local,
-                            )
-                        ]
-                        + [0] * (grp.n_pad - grp.n),
-                        jnp.int32,
-                    )
-                else:
-                    local = scan_kernel.batched_count_cols(
-                        None,
-                        grp.values_dev,
-                        grp.masks_dev,
-                        end_local.astype(np.int32),
-                        s=dh.s,
-                        pw=dh.windows(),
-                    )
-                parts.append(local)
-                blobs.append(grp.indices.tobytes())
-            from ..models.batched import _scatter_groups
-
-            pending.append(_scatter_groups(n, tuple(blobs), parts))
+            for i, hs in bs._huge:
+                end_h = self._end_h(hs.size, len(wbytes))
+                pos = hs.positions(dh)
+                totals[i] += int((pos < end_h).sum())
+            if bs.groups:
+                pending.append(self._count_window(dh, wbytes, is_last))
             if len(pending) >= self.check_every:
                 # Bound retained device buffers (a multi-TB stream would
                 # otherwise queue one per window before any readback).
-                for arr in pending:
-                    totals += np.asarray(arr).astype(np.int64)
-                pending.clear()
-        for arr in pending:
-            totals += np.asarray(arr).astype(np.int64)
+                self._fold_counts(totals, pending)
+        self._fold_counts(totals, pending)
         return totals
 
-    def _scan(self, windows: Iterator[bytes], early_stop: bool) -> np.ndarray:
+    def _count_window(self, dh, wbytes: bytes, is_last: bool):
+        bs = self.batched
+        parts = []
+        blobs = []
+        for grp in bs.groups:
+            end_local = self._group_ends(grp, len(wbytes), is_last)
+            if self.mesh is not None:
+                from ..parallel.shard_scan import sharded_count_cols
+
+                local = sharded_count_cols(
+                    dh, grp.values_dev, grp.masks_dev,
+                    end_local, self.mesh, assume_homogeneous=True,
+                )
+            elif not dh.tiled:
+                local = jnp.asarray(
+                    [
+                        _host_count_limited(wbytes, nd, int(e))
+                        for nd, e in zip(
+                            [bs.needles[i] for i in grp.indices],
+                            end_local,
+                        )
+                    ]
+                    + [0] * (grp.n_pad - grp.n),
+                    jnp.int32,
+                )
+            else:
+                local = scan_kernel.batched_count_cols(
+                    None,
+                    grp.values_dev,
+                    grp.masks_dev,
+                    end_local.astype(np.int32),
+                    s=dh.s,
+                    pw=dh.windows(),
+                )
+            parts.append(local)
+            blobs.append(grp.indices.tobytes())
+        return self._merge_parts(parts, blobs, absent=0)
+
+    def _merge_parts(self, parts, blobs, absent: int):
+        """Scatter per-group window results to input order.  Device parts
+        fuse into one int32 device scatter; host int64 parts (the sharded
+        >2 GiB-padding guard path — unreachable with default windows but
+        exact if hit) scatter on host, preserving int64."""
+        bs = self.batched
+        n = len(bs)
+        if parts and isinstance(parts[0], np.ndarray):
+            out = np.full((n,), absent, np.int64)
+            for grp, p in zip(bs.groups, parts):
+                out[grp.indices] = p[: grp.n]
+            return out
+        from ..models.batched import _scatter_groups
+
+        return _scatter_groups(n, tuple(blobs), parts)
+
+    def _scan(
+        self, windows: Iterator[bytes], early_stop: bool, base0: int = 0
+    ) -> np.ndarray:
         bs = self.batched
         n = len(bs)
         # int64 host accumulator: windows arrive in stream order, so a slot
@@ -200,48 +324,47 @@ class StreamingScanner:
         # windows (and at the end) — no per-window sync, bounded buffers.
         best = np.full((n,), -1, dtype=np.int64)
         pending: List[Tuple[int, jax.Array]] = []
-        base = 0
+        base = int(base0)
         since_check = 0
         for wbytes in windows:
             # windows_only: the scan consumes packed windows only, so each
             # window pins ~4 bytes/byte on device instead of ~5.
-            dh = preprocess(
-                wbytes, kh=self._kh, keep_host=False, windows_only=True,
-                force_cols=self.mesh is not None,
-            )
+            dh = self._prep(wbytes, need_cols=False)
             is_last = len(wbytes) < self.window + self.overlap
-            parts = []
-            blobs = []
-            for grp in bs.groups:
-                end_local = self._group_ends(grp, len(wbytes), is_last)
-                if self.mesh is not None:
-                    from ..parallel.shard_scan import sharded_find_cols
+            self._fold_huge_find(best, dh, wbytes, base)
+            if bs.groups:
+                parts = []
+                blobs = []
+                for grp in bs.groups:
+                    end_local = self._group_ends(grp, len(wbytes), is_last)
+                    if self.mesh is not None:
+                        from ..parallel.shard_scan import sharded_find_cols
 
-                    local = sharded_find_cols(
-                        dh, grp.values_dev, grp.masks_dev,
-                        end_local, self.mesh, assume_homogeneous=True,
-                    )
-                elif not dh.tiled:
-                    from ..ops import xla_backend
+                        local = sharded_find_cols(
+                            dh, grp.values_dev, grp.masks_dev,
+                            end_local, self.mesh, assume_homogeneous=True,
+                        )
+                    elif not dh.tiled:
+                        from ..ops import xla_backend
 
-                    local = xla_backend.find_batched_flat(
-                        dh.flat, grp.values_dev, grp.masks_dev,
-                        jnp.asarray(end_local.astype(np.int32)),
-                    )
-                else:
-                    local = scan_kernel.batched_find_cols(
-                        None,
-                        grp.values_dev,
-                        grp.masks_dev,
-                        end_local.astype(np.int32),
-                        s=dh.s,
-                        pw=dh.windows(),
-                    )
-                parts.append(local)
-                blobs.append(grp.indices.tobytes())
-            from ..models.batched import _scatter_groups
-
-            pending.append((base, _scatter_groups(n, tuple(blobs), parts)))
+                        local = xla_backend.find_batched_flat(
+                            dh.flat, grp.values_dev, grp.masks_dev,
+                            jnp.asarray(end_local.astype(np.int32)),
+                        )
+                    else:
+                        local = scan_kernel.batched_find_cols(
+                            None,
+                            grp.values_dev,
+                            grp.masks_dev,
+                            end_local.astype(np.int32),
+                            s=dh.s,
+                            pw=dh.windows(),
+                        )
+                    parts.append(local)
+                    blobs.append(grp.indices.tobytes())
+                pending.append(
+                    (base, self._merge_parts(parts, blobs, absent=-1))
+                )
             base += self.window
             since_check += 1
             if since_check >= self.check_every:
@@ -254,12 +377,85 @@ class StreamingScanner:
         self._fold(best, pending)
         return best
 
-    @staticmethod
-    def _fold(best: np.ndarray, pending: List[Tuple[int, jax.Array]]) -> None:
+    def _positions(self, windows: Iterator[bytes], base0: int = 0) -> list:
+        """Per-window bitmap scan + host decode (readback-bound, like the
+        single-corpus positions_all) — window-local clipped ends give the
+        exactly-once rule, the int64 window base the unbounded offsets."""
+        bs = self.batched
+        n = len(bs)
+        out: List[List[np.ndarray]] = [[] for _ in range(n)]
+        base = int(base0)
+        batch = 16  # bitmap memory bound: window/8 bytes per needle
+        for wbytes in windows:
+            dh = self._prep(wbytes, need_cols=True)
+            is_last = len(wbytes) < self.window + self.overlap
+            for i, hs in bs._huge:
+                end_h = self._end_h(hs.size, len(wbytes))
+                pos = hs.positions(dh)
+                pos = pos[pos < end_h]
+                if pos.size:
+                    out[i].append(pos + base)
+            for grp in bs.groups:
+                ends = self._group_ends(grp, len(wbytes), is_last)[: grp.n]
+                if not dh.tiled:
+                    for j, gi in enumerate(grp.indices):
+                        pos = _host_positions_limited(
+                            wbytes, bs.needles[gi], int(ends[j])
+                        )
+                        if pos.size:
+                            out[gi].append(pos + base)
+                    continue
+                for i0 in range(0, grp.n, batch):
+                    res = self._positions_batch(
+                        dh,
+                        grp.values_host[i0 : i0 + batch],
+                        grp.masks_host[i0 : i0 + batch],
+                        ends[i0 : i0 + batch],
+                    )
+                    for j, pos in enumerate(res):
+                        if pos.size:
+                            out[grp.indices[i0 + j]].append(pos + base)
+            base += self.window
+        return [
+            np.concatenate(p) if p else np.empty((0,), np.int64)
+            for p in out
+        ]
+
+    def _positions_batch(self, dh, vals, msks, ends) -> list:
+        from ..ops import xla_backend
+
+        if self.mesh is not None:
+            from ..parallel.shard_scan import sharded_positions
+
+            return sharded_positions(dh, vals, msks, ends, self.mesh)
+        words = np.asarray(
+            xla_backend.match_bitmap_batched(
+                dh.require_cols(), vals, msks,
+                np.asarray(ends, np.int32), dh.s,
+            )
+        )
+        return [
+            xla_backend.decode_match_bitmap(words[j], dh.s)
+            for j in range(words.shape[0])
+        ]
+
+    def _fold_counts(self, totals: np.ndarray, pending: List) -> None:
+        for arr in pending:
+            totals += np.asarray(arr).astype(np.int64)
+        pending.clear()
+
+    def _fold(self, best: np.ndarray, pending: List[Tuple[int, object]]) -> None:
         """Fold window-local device results into the int64 host accumulator
-        (in stream order, first window with a match wins)."""
+        (in stream order, first window with a match wins).  Device parts
+        are int32 with SENTINEL = absent; host int64 parts (the sharded
+        padding-overflow guard path) use -1 = absent.  Only kernel-group
+        slots fold — huge-needle slots are zero-init scatter filler here
+        and are written by :meth:`_fold_huge_find` instead."""
         for wbase, arr in pending:
             local = np.asarray(arr)
-            upd = (best < 0) & (local < SENTINEL)
+            if local.dtype == np.int64:
+                upd = (best < 0) & (local >= 0) & self._kernel_slot
+            else:
+                upd = (best < 0) & (local < SENTINEL) & self._kernel_slot
             best[upd] = local[upd].astype(np.int64) + wbase
         pending.clear()

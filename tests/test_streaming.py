@@ -149,3 +149,168 @@ def test_stream_first_occurrence_dedup(tmp_path):
     got = sc.find_in_file(str(p), early_stop=False)
     assert got[0] == 0
     assert got[1] == naive_find(blob, bytes(8))
+
+
+def _host_positions_oracle(data, nd):
+    out, p = [], data.find(nd)
+    while p >= 0:
+        out.append(p)
+        p = data.find(nd, p + 1)
+    return out
+
+
+def test_stream_positions(tmp_path, corpus):
+    """Streaming positions: every offset, exactly once, across multiple
+    windows including window-straddling matches."""
+    win = 131_072
+    p = tmp_path / "c.bin"
+    p.write_bytes(corpus)
+    needles = [
+        corpus[0:3],                      # frequent
+        corpus[win - 4 : win + 4],        # straddles a window boundary
+        corpus[2 * win - 3 : 2 * win + 9],
+        b"NOPE!",
+        corpus[-5:],
+    ]
+    sc = StreamingScanner(needles, window_bytes=win)
+    got = sc.positions_in_file(str(p))
+    for nd, g in zip(needles, got):
+        assert g.dtype == np.int64
+        assert list(g) == _host_positions_oracle(corpus, nd), nd
+
+
+def test_stream_positions_chunks_equal_file(corpus):
+    needles = [corpus[123_456:123_470], corpus[0:4]]
+    sc = StreamingScanner(needles, window_bytes=150_000)
+
+    def chunks():
+        for i in range(0, len(corpus), 41_113):
+            yield corpus[i : i + 41_113]
+
+    got = sc.positions_in_chunks(chunks())
+    for nd, g in zip(needles, got):
+        assert list(g) == _host_positions_oracle(corpus, nd), nd
+
+
+def test_stream_start_offset_past_2_32(corpus):
+    """PUBLIC-path int64 offsets past 2^32: a chunk stream declared to start
+    at a global offset just below 2^32, so window bases cross it mid-stream.
+    find/positions must report exact int64 global offsets."""
+    data = corpus[:400_000]
+    win = 65_536
+    start = 2**32 - 2 * win - 777  # bases cross 2^32 at the third window
+    needles = [
+        data[3 * win - 5 : 3 * win + 7],  # found after the 2^32 crossing
+        data[10:22],                      # found before it
+        b"NOPE!",
+    ]
+    sc = StreamingScanner(needles, window_bytes=win)
+
+    def chunks():
+        for i in range(0, len(data), 50_021):
+            yield data[i : i + 50_021]
+
+    got = sc.find_in_chunks(chunks(), early_stop=False, start_offset=start)
+    exp = [naive_find(data, nd) for nd in needles]
+    for g, e in zip(got, exp):
+        assert (None if g < 0 else int(g)) == (
+            None if e is None else e + start
+        )
+    assert got[0] > 2**32  # the point of the test
+    pos = sc.positions_in_chunks(chunks(), start_offset=start)
+    for nd, g in zip(needles, pos):
+        assert list(g) == [
+            q + start for q in _host_positions_oracle(data, nd)
+        ], nd
+
+
+def test_stream_file_start_offset(tmp_path, corpus):
+    """find_in_file(start_offset=X) scans the file tail; offsets stay
+    absolute file offsets."""
+    p = tmp_path / "c.bin"
+    p.write_bytes(corpus)
+    start = 500_000
+    tail = corpus[start:]
+    needles = [corpus[10:30], tail[1_000:1_012], tail[-6:]]
+    sc = StreamingScanner(needles, window_bytes=100_000)
+    got = sc.find_in_file(str(p), early_stop=False, start_offset=start)
+    exp = [naive_find(tail, nd) for nd in needles]
+    for g, e in zip(got, exp):
+        assert (None if g < 0 else int(g)) == (
+            None if e is None else e + start
+        )
+
+
+def test_stream_huge_needles(tmp_path, corpus):
+    """Needles beyond MAX_NEEDLE_LEN stream exactly (filter+verify against
+    each window's host bytes), including a window-boundary straddle."""
+    from sliceslice_tpu.needle import MAX_NEEDLE_LEN
+    from sliceslice_tpu.searcher import overlapping_count
+
+    win = 131_072
+    k = MAX_NEEDLE_LEN + 1000
+    needles = [
+        corpus[win - 1500 : win - 1500 + k],   # straddles window boundary
+        corpus[300_000 : 300_000 + k],
+        corpus[0:5],                           # mixed with a kernel needle
+        corpus[: k + 7],                       # huge at offset 0
+        bytes(k),                              # absent huge
+    ]
+    p = tmp_path / "c.bin"
+    p.write_bytes(corpus)
+    sc = StreamingScanner(needles, window_bytes=win)
+    assert sc.overlap == k + 6  # covers the longest (huge) needle
+    got = sc.find_in_file(str(p), early_stop=False)
+    exp = oracle(corpus, needles)
+    for nd, g, e in zip(needles, got, exp):
+        assert (None if g < 0 else int(g)) == e, nd[:20]
+    cnt = sc.count_in_file(str(p))
+    assert list(cnt) == [overlapping_count(corpus, nd) for nd in needles]
+    pos = sc.positions_in_file(str(p))
+    for nd, g in zip(needles, pos):
+        assert list(g) == _host_positions_oracle(corpus, nd), nd[:20]
+
+
+def test_stream_huge_periodic_across_windows(tmp_path):
+    """A periodic huge needle with overlapping occurrences that span
+    window boundaries counts each occurrence exactly once."""
+    from sliceslice_tpu.needle import MAX_NEEDLE_LEN
+    from sliceslice_tpu.searcher import overlapping_count
+
+    unit = b"xy"
+    k = MAX_NEEDLE_LEN + 2  # even
+    nd = unit * (k // 2)
+    blob = unit * 40_000 + b"Z" + unit * 3_000  # 86 KB, dense overlaps
+    p = tmp_path / "p.bin"
+    p.write_bytes(blob)
+    sc = StreamingScanner([nd], window_bytes=16_384)
+    assert list(sc.count_in_file(str(p))) == [overlapping_count(blob, nd)]
+    pos = sc.positions_in_file(str(p))[0]
+    assert list(pos) == _host_positions_oracle(blob, nd)
+
+
+def test_stream_sharded_positions(corpus):
+    """Streaming x sharding composition for positions: per-window sharded
+    bitmaps, host decode with int64 window bases."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device virtual mesh")
+    from sliceslice_tpu.parallel import make_mesh
+
+    mesh = make_mesh((4, 2))
+    win = 200_000
+    needles = [
+        corpus[win - 6 : win + 6],
+        corpus[0:3],
+        b"XYZQ",
+        corpus[-4:],
+    ]
+    sc = StreamingScanner(needles, window_bytes=win, mesh=mesh)
+    got = sc.positions_in_chunks(iter([corpus]), start_offset=2**33)
+    for nd, g in zip(needles, got):
+        assert list(g) == [
+            q + 2**33 for q in _host_positions_oracle(corpus, nd)
+        ], nd

@@ -42,16 +42,26 @@ def test_trace_capture(tmp_path):
 
 
 def test_streaming_int64_offsets_past_2gib():
-    """Offsets beyond the int32 range are exact: device math is window-local
-    int32, the global base folds in int64 on host.  Spoof the window stride
-    so the second window sits past 4 GiB without materializing gigabytes."""
+    """Offsets beyond the int32 range are exact through the PUBLIC API:
+    device math is window-local int32, the global base folds in int64 on
+    host.  ``start_offset`` declares the stream's global origin, so window
+    bases cross 2^32 without materializing gigabytes (the on-chip 4.5 GiB
+    materialized check is scripts/bigscan_check.py)."""
     from sliceslice_tpu.utils.streaming import StreamingScanner
 
-    sc = StreamingScanner([b"needle", b"absent-needle"], window_bytes=2**20)
-    sc.window = 2**32  # window bases advance by this stride
-    got = sc._scan(
-        iter([b"first window, nothing here", b"xxxxxneedle-in-window-two"]),
+    win = 2**16
+    start = 2**32 - win + 64  # the second window's base is past 2^32
+    data = bytes(win) + b"xxxxxneedle-in-window-two" + bytes(503)
+    sc = StreamingScanner([b"needle", b"absent-needle"], window_bytes=win)
+    got = sc.find_in_chunks(
+        iter([data[:40_000], data[40_000:]]),
         early_stop=False,
+        start_offset=start,
     )
-    assert got[0] == 2**32 + 5
+    assert got[0] == start + win + 5 and got[0] > 2**32
     assert got[1] == -1
+    cnt = sc.count_in_chunks(iter([data]))
+    assert list(cnt) == [1, 0]
+    pos = sc.positions_in_chunks(iter([data]), start_offset=start)
+    assert list(pos[0]) == [start + win + 5]
+    assert pos[1].size == 0
