@@ -45,9 +45,15 @@ def worker(port: int, pid: int) -> None:
     import numpy as np
 
     import sliceslice_tpu  # noqa: F401  (config side effects: interpret mode)
-    from sliceslice_tpu.needle import build_probe_table
+    from sliceslice_tpu.needle import MAX_NEEDLE_LEN, build_probe_table
     from sliceslice_tpu.ops.layout import LANES, round_up
-    from sliceslice_tpu.parallel import sharded_count_cols, sharded_find_cols
+    from sliceslice_tpu.parallel import (
+        ShardedBatchedSearcher,
+        gather_positions,
+        sharded_count_cols,
+        sharded_find_cols,
+        sharded_positions,
+    )
     from sliceslice_tpu.parallel.distributed import (
         assemble_global_corpus,
         global_mesh,
@@ -64,9 +70,11 @@ def worker(port: int, pid: int) -> None:
     mesh = global_mesh()
 
     # Each process builds ONLY its contiguous half (padded to whole segments
-    # on the final host), plus the kh-byte peek past its range.  The global
-    # segment count rounds to the data axis (8 shards over 2 processes).
-    kh = 32
+    # on the final host), plus a peek past its range: kh bytes feed the halo
+    # rows; the longer tail lets huge-needle verify read across the process
+    # boundary.  The global segment count rounds to the data axis.
+    kh = 64  # >= 63: the huge-needle 64-byte prefix filter's halo need
+    k_huge = MAX_NEEDLE_LEN + 500
     seg = SEG_ROWS * LANES
     n_data = mesh.shape["data"]
     g_global = round_up(-(-CORPUS_BYTES // seg), NPROC * (n_data // NPROC))
@@ -75,11 +83,12 @@ def worker(port: int, pid: int) -> None:
     lo = pid * g_local * seg
     hi = min((pid + 1) * g_local * seg, CORPUS_BYTES)
     local = corpus_chunk(lo, max(hi - lo, 0))
-    peek = corpus_chunk(hi, kh) if hi < CORPUS_BYTES else b""
+    peek = corpus_chunk(hi, max(kh, k_huge - 1)) if hi < CORPUS_BYTES else b""
     gc = assemble_global_corpus(
         local, peek, CORPUS_BYTES, SEG_ROWS, kh, mesh, g_local=g_local
     )
     assert gc.g == g_global
+    assert gc.local_base == lo and gc.local_bytes is not None
 
     # Needles: known plants (incl. one straddling the PROCESS boundary),
     # an absent one, and a high-count one.
@@ -99,7 +108,7 @@ def worker(port: int, pid: int) -> None:
     cnt = np.asarray(sharded_count_cols(gc, values, masks, ends, mesh))
 
     # Oracle on the full corpus (test-only; workers CAN generate it here).
-    from sliceslice_tpu.searcher import overlapping_count
+    from sliceslice_tpu.searcher import _host_positions, overlapping_count
 
     full = corpus_chunk(0, CORPUS_BYTES)
     for nd, o, c in zip(needles, got, cnt):
@@ -108,8 +117,48 @@ def worker(port: int, pid: int) -> None:
         oo = -1 if o >= 2**31 - 1 else int(o)
         assert oo == eo, (nd, oo, eo)
         assert int(c) == overlapping_count(full, nd), (nd, int(c))
-    print(f"process {pid}: multihost parity ok "
-          f"({len(needles)} needles, mesh {dict(zip(mesh.axis_names, mesh.devices.shape))})")
+
+    # Positions: per-process decode covers only addressable shards;
+    # gather_positions merges to the GLOBAL sorted list on every process.
+    per_proc = sharded_positions(gc, values, masks, ends, mesh)
+    merged = gather_positions(per_proc)
+    for nd, p in zip(needles, merged):
+        assert list(p) == list(_host_positions(full, nd)), (nd, p[:5])
+    n_local = sum(p.size for p in per_proc)
+    n_glob = sum(p.size for p in merged)
+    assert 0 < n_local < n_glob, (n_local, n_glob)  # gather added remote hits
+
+    # Huge needle straddling the process boundary: sharded prefix filter +
+    # process-local verify (reads into the peek), allgather-reduced.
+    huge_probes = [
+        full[mid - 900 : mid - 900 + k_huge],  # spans both processes
+        full[1_000 : 1_000 + k_huge],          # inside process 0
+        bytes(k_huge),                         # absent
+    ]
+    sb = ShardedBatchedSearcher(
+        huge_probes + [corpus_chunk(10, 12)], mesh
+    )
+    hf = sb.find_all(gc)
+    hc = sb.count_all(gc)
+    hp = sb.positions_all(gc, gather=True)
+    for nd, f, c, p in zip(huge_probes + [corpus_chunk(10, 12)], hf, hc, hp):
+        assert int(f) == full.find(nd), (len(nd), int(f), full.find(nd))
+        assert int(c) == overlapping_count(full, nd), (len(nd), int(c))
+        assert list(p) == list(_host_positions(full, nd)), len(nd)
+
+    # Regression: process_allgather under 32-bit jax silently truncates
+    # int64 host values; allgather_i64 must carry them exactly (two limbs).
+    from sliceslice_tpu.parallel.distributed import allgather_i64
+
+    big = np.asarray([2**40 + pid, -1, 2**31 + 5], np.int64)
+    rows = allgather_i64(big)
+    assert rows.tolist() == [
+        [2**40 + q, -1, 2**31 + 5] for q in range(NPROC)
+    ], rows.tolist()
+
+    print(f"process {pid}: multihost parity ok — find/count/positions(+gather)"
+          f"/huge({k_huge}B, cross-process straddle), {len(needles)} needles, "
+          f"mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
 
 def main() -> None:

@@ -1,6 +1,7 @@
 """Distribution layer: mesh helpers, sharded corpus scanner, multi-host
 bring-up (the capability required by BASELINE.json configs 4-5)."""
 
+from .distributed import gather_positions
 from .mesh import DATA_AXIS, NEEDLE_AXIS, corpus_sharding, make_mesh, table_sharding
 from .scaling import format_report, measure_scaling
 from .shard_scan import (
@@ -19,6 +20,7 @@ __all__ = [
     "sharded_find_cols",
     "sharded_count_cols",
     "sharded_positions",
+    "gather_positions",
     "ShardedBatchedSearcher",
     "measure_scaling",
     "format_report",

@@ -108,7 +108,15 @@ class GlobalCorpus:
     ``tiled``/``s``/``g``/``length``/``windows()``/``require_cols()``).
     Built by :func:`assemble_global_corpus`; ``length`` is the TRUE global
     byte length (int, unbounded — offsets past 2 GiB take shard_scan's
-    int64 path automatically)."""
+    int64 path automatically).
+
+    ``local_bytes``/``local_peek``/``local_base`` (kept by default — they
+    are references the caller already holds, not copies) let huge-needle
+    searches verify candidates against this process's byte range without
+    any host ever assembling the corpus: a candidate is verified by the
+    process whose range contains its first byte, reading into the peek for
+    range-straddling matches (the peek must then cover the needle's tail —
+    ``len(needle) - 1`` bytes — or reach the corpus end)."""
 
     length: int
     s: int
@@ -116,6 +124,12 @@ class GlobalCorpus:
     kh: int
     cols: jax.Array  # uint8 (g, s+kh, 128), sharded over the data axis
     pw: Optional[jax.Array] = None
+    #: this process's contiguous byte range (verify source for huge needles)
+    local_bytes: Optional[bytes] = None
+    #: bytes following the local range in the global stream
+    local_peek: bytes = b""
+    #: global offset of ``local_bytes[0]``
+    local_base: int = 0
 
     @property
     def tiled(self) -> bool:
@@ -146,14 +160,81 @@ def assemble_global_corpus(
     kh: int,
     mesh: Mesh,
     g_local: Optional[int] = None,
+    keep_local: bool = True,
 ) -> GlobalCorpus:
     """Per-host corpus bring-up: each process calls this with ITS contiguous
-    byte range (process_id order), the following ``kh`` peek bytes, and the
-    true global length; no host ever materializes the full corpus.
-    ``g_local`` (same on every process) must make the global segment count
-    divisible by the mesh's data axis; default = this range's segment count."""
+    byte range (process_id order), the following peek bytes (at least ``kh``
+    used for halo rows; longer peeks enable huge-needle verify across the
+    range boundary), and the true global length; no host ever materializes
+    the full corpus.  ``g_local`` (same on every process) must make the
+    global segment count divisible by the mesh's data axis; default = this
+    range's segment count.  ``keep_local`` retains the (caller-held) byte
+    references on the corpus for huge-needle filter+verify."""
     kh = round_up(max(kh, MIN_KH), 32)
-    block = local_segment_block(local_bytes, peek, s, kh, g_local=g_local)
+    block = local_segment_block(local_bytes, peek[:kh], s, kh, g_local=g_local)
     cols = make_global_corpus(block, mesh)
     g = block.shape[0] * jax.process_count()
-    return GlobalCorpus(length=global_length, s=s, g=g, kh=kh, cols=cols)
+    base = jax.process_index() * block.shape[0] * s * LANES
+    return GlobalCorpus(
+        length=global_length, s=s, g=g, kh=kh, cols=cols,
+        local_bytes=local_bytes if keep_local else None,
+        local_peek=peek if keep_local else b"",
+        local_base=base,
+    )
+
+
+def allgather_i64(arr: np.ndarray) -> np.ndarray:
+    """``process_allgather`` for int64 HOST arrays, exact past 2^31.
+
+    jax's default 32-bit mode silently downcasts int64 inputs to int32 on
+    the way through the collective (offsets past 2 GiB would truncate, and
+    int64 sentinels wrap), so the value rides as two int32 limbs and
+    recombines on host.  Returns ``(process_count, *arr.shape)``;
+    single-process returns ``arr[None]`` without any collective."""
+    a = np.asarray(arr, np.int64)
+    if jax.process_count() == 1:
+        return a[None]
+    from jax.experimental import multihost_utils
+
+    hi = (a >> 32).astype(np.int32)
+    lo = a.astype(np.uint32).astype(np.int32)  # low 32 bits, bit-exact
+    g = np.asarray(
+        multihost_utils.process_allgather(np.stack([hi, lo]))
+    ).reshape((jax.process_count(), 2) + a.shape)
+    return (g[:, 0].astype(np.int64) << 32) | (
+        g[:, 1].astype(np.int64) & 0xFFFFFFFF
+    )
+
+
+def gather_positions(parts: list, axis_name: Optional[str] = None) -> list:
+    """Gather per-process position lists (``sharded_positions`` /
+    ``ShardedBatchedSearcher.positions_all`` output: one int64 array per
+    needle, each process holding only offsets decoded from ITS addressable
+    shards) into the GLOBAL sorted list on every process.
+
+    Single-process: returns ``parts`` unchanged.  Multi-process: lengths are
+    allgathered first, arrays zero-padded to the global max and allgathered
+    (one host collective each), then sliced back and merged.  Processes own
+    disjoint ascending corpus ranges, so the merge is a concatenation in
+    process order plus a defensive sort."""
+    if jax.process_count() == 1:
+        return list(parts)
+    n = len(parts)
+    counts = np.asarray([int(p.size) for p in parts], np.int64)
+    all_counts = allgather_i64(counts)  # (P, n)
+    m = int(all_counts.max()) if all_counts.size else 0
+    padded = np.zeros((n, max(m, 1)), np.int64)
+    for i, p in enumerate(parts):
+        padded[i, : p.size] = np.asarray(p, np.int64)
+    allp = allgather_i64(padded)  # (P, n, m)
+    out = []
+    for i in range(n):
+        segs = [
+            allp[q, i, : all_counts[q, i]] for q in range(allp.shape[0])
+        ]
+        arr = (
+            np.concatenate(segs) if segs else np.empty((0,), np.int64)
+        )
+        arr.sort(kind="stable")
+        out.append(arr)
+    return out

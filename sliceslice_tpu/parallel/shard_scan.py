@@ -537,16 +537,14 @@ class ShardedBatchedSearcher:
     def __init__(self, needles, mesh: Mesh, position=None):
         from ..models.batched import BatchedSearcher
 
+        # Needles beyond MAX_NEEDLE_LEN ride the filter+verify fallback
+        # (models/huge.py) distributed over the mesh: the 64-byte prefix
+        # filter is the sharded bitmap op, and each PROCESS verifies the
+        # candidates whose first byte lies in its local byte range
+        # (DeviceHaystack host bytes single-process; GlobalCorpus
+        # local_bytes + peek multi-host) — no host ever assembles the
+        # corpus.  Reference bar: no needle-length limit (src/lib.rs:52-59).
         self.inner = BatchedSearcher(needles, position)
-        if self.inner._huge:
-            # The huge-needle fallback verifies against host bytes, which a
-            # sharded (possibly multi-host) corpus deliberately never
-            # assembles in one place.
-            raise ValueError(
-                "ShardedBatchedSearcher does not support needles longer "
-                "than MAX_NEEDLE_LEN; scan them per shard with "
-                "BatchedSearcher"
-            )
         self.mesh = mesh
         #: test hook: force the >2 GiB component-pair path on any corpus.
         self.force_int64 = False
@@ -567,6 +565,11 @@ class ShardedBatchedSearcher:
         if isinstance(hay, DeviceHaystack) or not hasattr(hay, "windows"):
             return self.inner._layout(hay)
         need = max(4 * self.inner.max_t - 1, 3)
+        if self.inner._huge:
+            from ..models.huge import PREFIX_LEN
+
+            # The huge-needle prefix filter probes PREFIX_LEN bytes.
+            need = max(need, PREFIX_LEN - 1)
         if hay.kh < need:
             raise ValueError(
                 f"global corpus halo kh={hay.kh} < required {need}; "
@@ -642,19 +645,150 @@ class ShardedBatchedSearcher:
             out[out >= SENTINEL] = -1  # device int32 path: SENTINEL = absent
         return out
 
+    # -- huge needles: sharded prefix filter + process-local verify ----------
+
+    def _huge_ctx(self, dh) -> tuple:
+        """(local_bytes, peek, base, own_end): the bytes this process can
+        verify huge-needle candidates against, the global offset of their
+        first byte, and the global end of this process's OWNERSHIP (a
+        candidate is verified by the process holding its first byte —
+        exactly-once, same rule as shard boundaries)."""
+        if isinstance(dh, DeviceHaystack):
+            if dh.host_bytes is None:
+                raise ValueError(
+                    "huge-needle search requires host bytes for the verify "
+                    "step (preprocess with keep_host=True)"
+                )
+            return dh.host_bytes, b"", 0, dh.length
+        lb = getattr(dh, "local_bytes", None)
+        if lb is None:
+            raise ValueError(
+                "huge-needle search over a GlobalCorpus requires the local "
+                "byte range for the verify step; assemble_global_corpus "
+                "with keep_local=True"
+            )
+        peek = getattr(dh, "local_peek", b"")
+        base = int(getattr(dh, "local_base", 0))
+        return lb, peek, base, min(base + len(lb), dh.length)
+
+    @staticmethod
+    def _huge_match_at(lb: bytes, peek: bytes, rel: int, full: bytes) -> bool:
+        """memcmp ``full`` at local offset ``rel``, reading into the peek
+        for range-straddling candidates (no local+peek concatenation — the
+        straddle tail copy is bounded by the needle length)."""
+        k = len(full)
+        if rel + k <= len(lb):
+            return lb[rel : rel + k] == full
+        head = lb[rel:]
+        tail = k - len(head)
+        if tail > len(peek):
+            raise ValueError(
+                f"huge-needle verify needs {tail} bytes past this process's "
+                f"local range but the peek holds {len(peek)}; "
+                "assemble_global_corpus with a peek of at least "
+                "len(needle) - 1 bytes"
+            )
+        return head == full[: len(head)] and peek[:tail] == full[len(head) : k]
+
+    def _huge_positions_local(self, dh) -> dict:
+        """{needle index: verified global offsets (int64, ascending) whose
+        first byte lies in THIS process's range}.  The prefix filter is one
+        sharded bitmap pass per huge needle; verify cost is proportional to
+        the candidate count (same economics as models/huge.py)."""
+        from ..needle import build_probe_table
+
+        if not self.inner._huge:
+            return {}
+        lb, peek, base, own_end = self._huge_ctx(dh)
+        out = {}
+        for i, hs in self.inner._huge:
+            vals, msks, _ = build_probe_table([hs.needle.data])
+            k = hs.size
+            ends = np.asarray([max(dh.length - k + 1, 0)], np.int64)
+            cands = sharded_positions(dh, vals, msks, ends, self.mesh)[0]
+            good = []
+            for c in cands:
+                c = int(c)
+                if not (base <= c < own_end):
+                    # Addressable shards ARE this process's contiguous range
+                    # (make_array_from_process_local_data): a candidate
+                    # outside it means the mesh/device ordering broke that
+                    # contract — fail loudly rather than miss a match.
+                    raise RuntimeError(
+                        f"candidate offset {c} outside this process's range "
+                        f"[{base}, {own_end}); mesh device order does not "
+                        "match process-contiguous corpus assembly"
+                    )
+                if self._huge_match_at(lb, peek, c - base, hs._full):
+                    good.append(c)
+            out[i] = np.asarray(good, np.int64)
+        return out
+
+    @staticmethod
+    def _allgather_rows(vec: np.ndarray) -> np.ndarray:
+        """(P, m) stack of a host int64 vector across processes (identity
+        single-process; two-limb exact past 2^31 — see allgather_i64)."""
+        from .distributed import allgather_i64
+
+        return allgather_i64(vec)
+
+    def _fill_huge_find(self, out: np.ndarray, dh) -> np.ndarray:
+        pos = self._huge_positions_local(dh)
+        if not pos:
+            return out
+        idx = sorted(pos)
+        local = np.asarray(
+            [pos[i][0] if pos[i].size else -1 for i in idx], np.int64
+        )
+        rows = self._allgather_rows(local)  # (P, n_huge)
+        rows = np.where(rows < 0, np.iinfo(np.int64).max, rows)
+        first = rows.min(axis=0)
+        out[idx] = np.where(first == np.iinfo(np.int64).max, -1, first)
+        return out
+
+    def _fill_huge_count(self, out: np.ndarray, dh) -> np.ndarray:
+        pos = self._huge_positions_local(dh)
+        if not pos:
+            return out
+        idx = sorted(pos)
+        local = np.asarray([pos[i].size for i in idx], np.int64)
+        out[idx] = self._allgather_rows(local).sum(axis=0)
+        return out
+
+    # -- public API ----------------------------------------------------------
+
     def find_all(self, dh: DeviceHaystack) -> np.ndarray:
-        return self._run_groups(dh, sharded_find_cols, remap_sentinel=True)
+        dh = self._corpus(dh)
+        if self.inner.groups:
+            out = self._run_groups(dh, sharded_find_cols, remap_sentinel=True)
+        else:
+            out = np.full((len(self.inner),), -1, np.int64)
+        return self._fill_huge_find(out, dh)
 
     def count_all(self, dh: DeviceHaystack) -> np.ndarray:
         """Overlapping occurrence counts (int64[N]) across the sharded
         corpus — one ``psum`` per query batch."""
-        return self._run_groups(dh, sharded_count_cols, remap_sentinel=False)
+        dh = self._corpus(dh)
+        if self.inner.groups:
+            out = self._run_groups(
+                dh, sharded_count_cols, remap_sentinel=False
+            )
+        else:
+            out = np.zeros((len(self.inner),), np.int64)
+        return self._fill_huge_count(out, dh)
 
-    def positions_all(self, dh: DeviceHaystack, batch: int = 16) -> list:
+    def positions_all(
+        self, dh: DeviceHaystack, batch: int = 16, gather: bool = False
+    ) -> list:
         """ALL (overlapping) match offsets per needle (int64[M] ascending,
         input order) across the sharded corpus — the sharded ``find_iter``
         capability.  ``batch`` bounds bitmap memory (corpus/8 bytes per
-        needle per sweep, split across the data shards)."""
+        needle per sweep, split across the data shards).
+
+        Multi-process: each process returns offsets decoded from ITS
+        addressable shards; ``gather=True`` allgathers them so every
+        process returns the complete global lists
+        (parallel.distributed.gather_positions)."""
         dh = self._corpus(dh)
         out: list = [None] * len(self.inner)
         for grp in self.inner.groups:
@@ -673,6 +807,12 @@ class ShardedBatchedSearcher:
                 )
                 for j, r in enumerate(res):
                     out[grp.indices[i0 + j]] = r
+        for i, pos in self._huge_positions_local(dh).items():
+            out[i] = pos
+        if gather:
+            from .distributed import gather_positions
+
+            out = gather_positions(out)
         return out
 
     def optimize_for(self, dh) -> "ShardedBatchedSearcher":

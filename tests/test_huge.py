@@ -1,6 +1,6 @@
 """Huge needles (k > MAX_NEEDLE_LEN): the exact filter+verify fallback —
 arbitrary-length parity with the reference (src/lib.rs:52-59), plus the
-2048/2049 boundary and the fences on streaming/sharded layers."""
+2048/2049 boundary and the sharded-layer (mesh) huge paths."""
 
 import numpy as np
 import pytest
@@ -105,15 +105,68 @@ def test_device_resident_variants_fence(corpus):
         bs.count_all_device(dh)
 
 
-def test_streaming_and_sharded_fences(corpus):
+def test_sharded_huge_needles(corpus):
+    """Huge needles over the sharded layer: prefix filter under shard_map,
+    candidates verified against the process's bytes; find/count/positions
+    parity including a shard-boundary straddle and an adversarial decoy."""
     import jax
 
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
     from sliceslice_tpu.parallel import ShardedBatchedSearcher, make_mesh
-    from sliceslice_tpu.utils.streaming import StreamingScanner
 
-    huge = [corpus[: MAX_NEEDLE_LEN + 1]]
-    with pytest.raises(ValueError, match="MAX_NEEDLE_LEN"):
-        StreamingScanner(huge)
-    if len(jax.devices()) >= 2:
-        with pytest.raises(ValueError, match="MAX_NEEDLE_LEN"):
-            ShardedBatchedSearcher(huge, make_mesh((2, 1), jax.devices()[:2]))
+    mesh = make_mesh((4, 2))
+    dh = preprocess(corpus, seg_rows=96)  # several segments per shard
+    seg = dh.seg_bytes
+    shard_bytes = (dh.g // 4 + (1 if dh.g % 4 else 0)) * seg
+    k = MAX_NEEDLE_LEN + 700
+    needles = [
+        corpus[10:14],                                     # kernel path
+        corpus[77_000 : 77_000 + k],                       # huge, present
+        corpus[shard_bytes - 900 : shard_bytes - 900 + k], # straddles shards
+        b"q" * k,                                          # huge, absent
+        corpus[1_000 : 1_064] + b"\xffX" + bytes(2_500),   # adversarial: real
+                                                           # 64-byte prefix,
+                                                           # absent tail
+        corpus[-5:],
+    ]
+    sb = ShardedBatchedSearcher(needles, mesh)
+    got = sb.find_all(dh)
+    assert list(got) == [corpus.find(nd) for nd in needles]
+    cnt = sb.count_all(dh)
+    assert list(cnt) == [overlapping_count(corpus, nd) for nd in needles]
+    pos = sb.positions_all(dh)
+    for nd, p in zip(needles, pos):
+        assert np.array_equal(p, _host_positions(corpus, nd)), nd[:20]
+    # gather=True is the multi-process global merge; single-process identity.
+    pos_g = sb.positions_all(dh, gather=True)
+    for p, q in zip(pos, pos_g):
+        assert np.array_equal(p, q)
+
+
+def test_sharded_huge_global_corpus_requires_local_bytes(corpus):
+    """A GlobalCorpus assembled without its local byte range cannot verify
+    huge candidates — clear error, not silence."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from sliceslice_tpu.parallel import ShardedBatchedSearcher, make_mesh
+    from sliceslice_tpu.parallel.distributed import assemble_global_corpus
+
+    mesh = make_mesh((4, 2))
+    k = MAX_NEEDLE_LEN + 100
+    # 400 KB / (96*128 B) = 33 segments; round to the 4-way data axis.
+    gc = assemble_global_corpus(
+        corpus, b"", len(corpus), 96, 64, mesh, g_local=36, keep_local=False
+    )
+    sb = ShardedBatchedSearcher([corpus[5_000 : 5_000 + k]], mesh)
+    with pytest.raises(ValueError, match="keep_local"):
+        sb.find_all(gc)
+    gc2 = assemble_global_corpus(
+        corpus, b"", len(corpus), 96, 64, mesh, g_local=36
+    )
+    assert list(sb.find_all(gc2)) == [5_000]
+    assert list(sb.count_all(gc2)) == [overlapping_count(corpus, corpus[5_000 : 5_000 + k])]
+    pos = sb.positions_all(gc2, gather=True)
+    assert np.array_equal(pos[0], _host_positions(corpus, corpus[5_000 : 5_000 + k]))

@@ -29,3 +29,6 @@ def test_two_process_sharded_scan():
     tail = "\n".join((out.stdout + out.stderr).splitlines()[-12:])
     assert out.returncode == 0, tail
     assert "2-process sharded scan parity ok" in out.stdout, tail
+    # The workers' parity line proves all three ops plus the huge-needle
+    # cross-process straddle executed, not just find/count.
+    assert "positions(+gather)/huge" in out.stdout, tail
