@@ -31,12 +31,12 @@ ROWS = [
     ("C++ SWAR scanner (this host, csrc/)", 101.0, None, False),
     ("sse4-strstr avx2 C++ (i7-6700)", 38.6, 75.5, False),
     ("sliceslice v0.2.0 (i7-6700)", 35.2, 79.4, False),
-    ("sliceslice_tpu (1x TPU v5e, sustained)", 2.50, 1.13, True),
+    ("sliceslice_tpu (1x TPU v5e, sustained)", 2.53, 1.17, True),
 ]
 
 PANELS = [
-    ("Long haystack: 4,585 words x 857 KB i386.txt", 1, "14.1x"),
-    ("Short haystack: all ~10.5M word pairs", 2, "70x"),
+    ("Long haystack: 4,585 words x 857 KB i386.txt", 1, "13.6x"),
+    ("Short haystack: all ~10.5M word pairs", 2, "68x"),
 ]
 
 
