@@ -89,19 +89,50 @@ def fuzz_streaming(rounds: int, rng) -> tuple:
             needles.append(hay[o : o + k])
             needles.append(bytes([0xFF]) + hay[o : o + k - 1])
         needles.append(hay[L - 9 :])
+        if rng.integers(0, 2):
+            # huge needle (> MAX_NEEDLE_LEN): per-window filter+verify,
+            # planted to straddle a window boundary half the time
+            from sliceslice_tpu.needle import MAX_NEEDLE_LEN
+
+            kh_ = MAX_NEEDLE_LEN + int(rng.integers(1, 400))
+            if L > kh_ + 10:
+                o = (max(0, window - kh_ // 2) if rng.integers(0, 2)
+                     else int(rng.integers(0, L - kh_)))
+                needles.append(hay[o : o + kh_])
+                needles.append(bytes(kh_))  # absent huge
         ss = StreamingScanner(needles, window_bytes=window)
         # random chunking of the byte stream
         cuts = np.sort(rng.integers(1, L, int(rng.integers(3, 40))))
         chunks = [hay[a:b] for a, b in
                   zip([0, *cuts.tolist()], [*cuts.tolist(), L])]
-        got = ss.find_in_chunks(chunks, early_stop=bool(rng.integers(0, 2)))
+        base = int(rng.integers(0, 2)) * int(rng.integers(0, 2**33))
+        got = ss.find_in_chunks(chunks, early_stop=bool(rng.integers(0, 2)),
+                                start_offset=base)
         exp = np.array([hay.find(w) for w in needles])
-        bad = got != exp
+        expb = np.where(exp < 0, -1, exp + base)
+        bad = got != expb
         trials += len(needles)
         if bad.any():
             fails += int(bad.sum())
             i = int(np.argmax(bad))
-            print("STREAM MISMATCH", L, window, needles[i], got[i], exp[i])
+            print("STREAM MISMATCH", L, window, needles[i], got[i], expb[i])
+        # counts + positions over the same stream (file-equivalent chunks)
+        from sliceslice_tpu.searcher import _host_positions, overlapping_count
+
+        sub = needles[:: max(1, len(needles) // 6)]
+        ss2 = StreamingScanner(sub, window_bytes=window)
+        cnt = ss2.count_in_chunks(iter(chunks))
+        cexp = [overlapping_count(hay, w) for w in sub]
+        trials += len(sub)
+        if list(cnt) != cexp:
+            fails += 1
+            print("STREAM COUNT MISMATCH", L, window)
+        pos = ss2.positions_in_chunks(iter(chunks), start_offset=base)
+        trials += len(sub)
+        for w, pp in zip(sub, pos):
+            if not np.array_equal(pp, _host_positions(hay, w) + base):
+                fails += 1
+                print("STREAM POSITIONS MISMATCH", L, window, w[:16])
     return trials, fails
 
 
@@ -147,12 +178,27 @@ def fuzz_sharded(rounds: int, rng) -> tuple:
             if (cnt != cexp).any():
                 fails += int((cnt != cexp).sum())
                 print("SHARD COUNT MISMATCH", shape)
-            pos = sbc.positions_all(dh)
+            pos = sbc.positions_all(dh, gather=bool(rng.integers(0, 2)))
             trials += len(sub)
             for w, p in zip(sub, pos):
                 if not np.array_equal(p, _host_positions(hay, w)):
                     fails += 1
                     print("SHARD POSITIONS MISMATCH", shape, w)
+            if rng.integers(0, 2):
+                # huge needle over the mesh (prefix filter + local verify)
+                from sliceslice_tpu.needle import MAX_NEEDLE_LEN
+
+                kh_ = MAX_NEEDLE_LEN + int(rng.integers(1, 300))
+                if L > kh_ + 10:
+                    o = int(rng.integers(0, L - kh_))
+                    hsub = [hay[o : o + kh_], bytes(kh_), needles[0]]
+                    sbh = ShardedBatchedSearcher(hsub, mesh)
+                    hf = sbh.find_all(dh)
+                    hexp = np.array([hay.find(w) for w in hsub])
+                    trials += len(hsub)
+                    if (hf != hexp).any():
+                        fails += int((hf != hexp).sum())
+                        print("SHARD HUGE MISMATCH", shape, o, kh_)
     return trials, fails
 
 

@@ -13,7 +13,8 @@ error): ``dynamic`` (length dispatch), ``pallas`` (native kernels), ``xla``
 ``positions`` (grep -b analogue: every overlapping match offset), and
 ``stream`` (like ``batched`` but windows the file through a bounded device
 footprint — files of any size, offsets exact past 2 GiB;
-utils/streaming.py).  In multi-needle lists ``\\,`` escapes a literal
+utils/streaming.py), plus ``stream-count`` / ``stream-positions`` (the
+count / positions analogues over the same windowed path).  In multi-needle lists ``\\,`` escapes a literal
 comma and ``\\\\`` a literal backslash (see :func:`split_needles`).
 
 The file is memory-mapped and laid out on device once (the reference mmaps
@@ -76,7 +77,7 @@ def make_searcher(backend: str, needle: bytes):
     if backend in ("count", "batched", "positions"):
         needles = split_needles(needle)
         return BatchedSearcher(needles)
-    if backend == "stream":
+    if backend in ("stream", "stream-count", "stream-positions"):
         from .utils.streaming import StreamingScanner
 
         return StreamingScanner(split_needles(needle))
@@ -84,7 +85,7 @@ def make_searcher(backend: str, needle: bytes):
     if cls is None:
         raise SystemExit(
             f"unknown backend {backend!r}; choose from "
-            f"{sorted(BACKENDS) + ['batched', 'count', 'positions', 'stream']}"
+            f"{sorted(BACKENDS) + ['batched', 'count', 'positions', 'stream', 'stream-count', 'stream-positions']}"
         )
     return cls(needle)
 
@@ -110,6 +111,12 @@ def run_on_file(searcher, backend: str, path: str):
     if backend == "stream":
         offs = searcher.find_in_file(path)
         return [(o >= 0, None if o < 0 else int(o)) for o in offs]
+    if backend == "stream-count":
+        counts = searcher.count_in_file(path)
+        return [(int(c) > 0, int(c)) for c in counts]
+    if backend == "stream-positions":
+        pos = searcher.positions_in_file(path)
+        return [(p.size > 0, p) for p in pos]
     if backend == "count":
         dh = _load_for(searcher, backend, path)
         counts = searcher.count_all(dh)
@@ -147,11 +154,11 @@ def main(argv=None):
     rc = 1
     for path in files:
         res = run_on_file(searcher, backend, path)
-        if backend == "count":
+        if backend in ("count", "stream-count"):
             for nd, (found, c) in zip(split_needles(needle_b), res):
                 print(f"{path}: {nd.decode('utf-8', 'replace')}: {c}")
                 rc = 0 if found else rc
-        elif backend == "positions":
+        elif backend in ("positions", "stream-positions"):
             for nd, (found, pos) in zip(split_needles(needle_b), res):
                 shown = ",".join(map(str, pos[:100].tolist()))
                 more = f" (+{pos.size - 100} more)" if pos.size > 100 else ""

@@ -49,11 +49,17 @@ def test_cli_stream(tmp_path, capsys):
     streaming.StreamingScanner.__init__ = patched
     try:
         assert main(["stream", f"{nd},zebra!", str(p)]) == 0
+        out = capsys.readouterr().out
+        assert f"{nd}: match at 123456" in out
+        assert "zebra!: no match" in out
+        assert main(["stream-count", f"{nd},zebra!", str(p)]) == 0
+        out = capsys.readouterr().out
+        assert f"{nd}: 1" in out and "zebra!: 0" in out
+        assert main(["stream-positions", f"{nd},zebra!", str(p)]) == 0
+        out = capsys.readouterr().out
+        assert f"{nd}: 123456" in out and "zebra!: no match" in out
     finally:
         streaming.StreamingScanner.__init__ = old
-    out = capsys.readouterr().out
-    assert f"{nd}: match at 123456" in out
-    assert "zebra!: no match" in out
 
 
 def test_cli_invalid_backend(corpus_file):
