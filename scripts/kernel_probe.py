@@ -16,8 +16,23 @@ t=2 fullscans cost the same:
   nomin    — probes only, OR-accumulate into out (drops first-offset math)
   noprobe  — select+min on a constant mask (drops probe compares)
   empty    — needle loop with only the out_ref update (scalar floor)
+  dedup    — prefix-window deduplication (t=2 only): the slot-0 compare is
+             hoisted OUT of the needle loop — once per (block, segment) the
+             kernel materializes a candidate plane where(w0 == uval, 0,
+             NO_ROW) per UNIQUE slot-0 value in the block (host-built
+             per-block unique tables, U= knob caps the count), and each
+             needle ORs its class's plane into the row iota instead of
+             comparing.  Per-needle saving: [load w0 + cmp + AND] becomes
+             [load plane + OR]; per-segment cost: U x (cmp + select +
+             store).  Pays iff the block's unique count is well below its
+             needle count — the dictionary-sweep hypothesis (DESIGN.md
+             "first-window deduplication").
+  swpipe   — needle-loop software pipelining: all scalar SMEM table reads
+             for an unroll group issue BEFORE any of the group's vector
+             chains, so the scalar core runs a full group ahead of the VPU
+             (the other DESIGN.md candidate lever).
 
-Usage: python scripts/kernel_probe.py [variant ...]
+Usage: python scripts/kernel_probe.py [t=K] [u=N] [U=N] [variant ...]
 """
 
 import functools
@@ -46,10 +61,19 @@ NBLK = 256
 
 
 @functools.lru_cache(maxsize=32)
-def build(g, h, s, t, n_pad, variant, unroll=4):
+def build(g, h, s, t, n_pad, variant, unroll=4, umax=8):
     cs = s
+    dedup = variant == "dedup"
+    if dedup and t != 2:
+        raise SystemExit("dedup ablation is t=2 only")
 
-    def kernel(val_ref, msk_ref, pw_hbm, out_ref, pbuf, p4buf, sem, pm_scr):
+    def kernel(val_ref, msk_ref, *rest):
+        if dedup:
+            uval_ref, cls_ref, pw_hbm, out_ref = rest[:4]
+            pbuf, p4buf, sem, pm_scr, dd_scr = rest[4:]
+        else:
+            uval_ref = cls_ref = dd_scr = None
+            pw_hbm, out_ref, pbuf, p4buf, sem, pm_scr = rest
         seg_dma = _seg_dma_factory(pw_hbm, pbuf, p4buf, sem, h)
         for c in seg_dma(0, 0):
             c.start()
@@ -71,7 +95,7 @@ def build(g, h, s, t, n_pad, variant, unroll=4):
                 src = pbuf if ti % 2 == 0 else p4buf
                 off = pl.multiple_of(4 * (ti - ti % 2), 8)
                 wins.append(src[slot, pl.ds(off, cs), :])
-            if variant in ("premask", "premsel"):
+            if variant in ("premask", "premsel", "dedup"):
                 # One premasked copy of the final-slot window per mask
                 # class, built once per (block, segment) — the per-needle
                 # masked compare then drops its AND.
@@ -79,12 +103,37 @@ def build(g, h, s, t, n_pad, variant, unroll=4):
                 pm_scr[1] = wins[t - 1] & jnp.uint32(0xFFFF)
                 pm_scr[2] = wins[t - 1] & jnp.uint32(0xFFFFFF)
                 pm_scr[3] = wins[t - 1]
+            if dedup:
+                # Candidate plane per unique slot-0 value in the block:
+                # 0 where the window matches, NO_ROW where it doesn't.
+                nbi = pl.program_id(0)
+                for u in range(umax):
+                    dd_scr[u] = jnp.where(
+                        wins[0] == uval_ref[nbi, u], 0, NO_ROW
+                    )
 
             def scan_one(n):
                 if variant == "empty":
                     out_ref[n, :] = jnp.minimum(
                         out_ref[n, :], jnp.int32(SENTINEL)
                     )
+                    return
+                if dedup:
+                    bad0 = dd_scr[cls_ref[n, 0]]
+                    m = msk_ref[n, 1]
+                    cls = (
+                        (m > 0xFF).astype(jnp.int32)
+                        + (m > 0xFFFF).astype(jnp.int32)
+                        + (m > 0xFFFFFF).astype(jnp.int32)
+                    )
+                    last_eq = pm_scr[cls] == val_ref[n, 1]
+                    lmin = jnp.min(
+                        jnp.where(last_eq, row_iota | bad0, NO_ROW),
+                        axis=0, keepdims=True,
+                    )
+                    gmin = jnp.where(lmin < NO_ROW, lmin + gi, SENTINEL)
+                    fin = jnp.minimum(out_ref[n, :].reshape(1, LANES), gmin)
+                    out_ref[n, :] = fin.reshape(LANES)
                     return
                 if variant != "noprobe":
                     eqs = []
@@ -142,30 +191,70 @@ def build(g, h, s, t, n_pad, variant, unroll=4):
                     scan_one(unroll * i + j)
                 return c
 
-            jax.lax.fori_loop(0, NBLK // unroll, group, 0)
+            def group_pipelined(i, c):
+                # Stage 1: every scalar SMEM read for the group, up front.
+                staged = []
+                for j in range(unroll):
+                    n = unroll * i + j
+                    vals = [val_ref[n, ti] for ti in range(t)]
+                    staged.append((n, vals, msk_ref[n, t - 1]))
+                # Stage 2: the vector chains, no scalar reads interleaved.
+                for n, vals, m in staged:
+                    acc = None
+                    for ti in range(t):
+                        v = vals[ti]
+                        eq = (
+                            ((wins[ti] & m) == v)
+                            if ti == t - 1
+                            else (wins[ti] == v)
+                        )
+                        acc = eq if acc is None else jnp.logical_and(acc, eq)
+                    lmin = jnp.min(
+                        jnp.where(acc, row_iota, NO_ROW),
+                        axis=0, keepdims=True,
+                    )
+                    gmin = jnp.where(lmin < NO_ROW, lmin + gi, SENTINEL)
+                    fin = jnp.minimum(out_ref[n, :].reshape(1, LANES), gmin)
+                    out_ref[n, :] = fin.reshape(LANES)
+                return c
+
+            body = group_pipelined if variant == "swpipe" else group
+            jax.lax.fori_loop(0, NBLK // unroll, body, 0)
             return carry
 
         out_ref[:] = jnp.full((NBLK, LANES), SENTINEL, jnp.int32)
         jax.lax.fori_loop(0, g, scan_segment, 0)
 
+    in_specs = [
+        pl.BlockSpec((NBLK, t), lambda nb: (nb, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((NBLK, t), lambda nb: (nb, 0), memory_space=pltpu.SMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((2, h - 3, LANES), jnp.uint32),
+        pltpu.VMEM((2, h - 7, LANES), jnp.uint32),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.VMEM((4, cs, LANES), jnp.uint32),
+    ]
+    if dedup:
+        in_specs += [
+            # Whole unique table in SMEM (a few hundred scalars), indexed
+            # by program id — per-block SMEM slicing hits tiling rules.
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (NBLK, 1), lambda nb: (nb, 0), memory_space=pltpu.SMEM
+            ),
+        ]
+        scratch.append(pltpu.VMEM((umax, cs, LANES), jnp.int32))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     return pl.pallas_call(
         kernel,
         grid=(n_pad // NBLK,),
-        in_specs=[
-            pl.BlockSpec((NBLK, t), lambda nb: (nb, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((NBLK, t), lambda nb: (nb, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (NBLK, LANES), lambda nb: (nb, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, LANES), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((2, h - 3, LANES), jnp.uint32),
-            pltpu.VMEM((2, h - 7, LANES), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((4, cs, LANES), jnp.uint32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -176,12 +265,15 @@ def main():
     args = sys.argv[1:]
     t = 2
     unroll = 4
+    umax = 8
     variants = []
     for a in args:
         if a.startswith("t="):
             t = int(a[2:])
         elif a.startswith("u="):
             unroll = int(a[2:])
+        elif a.startswith("U="):
+            umax = int(a[2:])
         else:
             variants.append(a)
     variants = variants or ["full", "nomin", "noprobe", "empty"]
@@ -209,21 +301,43 @@ def main():
             values[row] = (v0, v1 & masks[row, 1])
     vals_d = jnp.asarray(values)
     msks_d = jnp.asarray(masks)
+    # Per-block unique slot-0 tables for the dedup variant (host-built,
+    # exactly what a production optimize_for reorder would emit).
+    nblocks = n_pad // NBLK
+    uvals = np.zeros((nblocks, umax), np.uint32)
+    cls = np.zeros(n_pad, np.int32)
+    for b in range(nblocks):
+        blk = values[b * NBLK : (b + 1) * NBLK, 0]
+        u, inv = np.unique(blk, return_inverse=True)
+        if len(u) > umax:
+            raise SystemExit(
+                f"block {b} has {len(u)} unique slot-0 values > U={umax}"
+            )
+        uvals[b, : len(u)] = u
+        cls[b * NBLK : (b + 1) * NBLK] = inv
+    uval_d = jnp.asarray(uvals)
+    cls_d = jnp.asarray(cls.reshape(-1, 1))
     K = 32
     ref_out = None
     for variant in variants:
-        call = build(g, h, dh.s, t, n_pad, variant, unroll)
-        out = np.asarray(call(vals_d, msks_d, pw))  # compile+warm
+        call = build(g, h, dh.s, t, n_pad, variant, unroll, umax)
+        if variant == "dedup":
+            run = lambda: call(vals_d, msks_d, uval_d, cls_d, pw)
+        else:
+            run = lambda: call(vals_d, msks_d, pw)
+        out = np.asarray(run())  # compile+warm
         if variant == "full":
             ref_out = out
-        elif variant in ("premask", "premsel") and ref_out is not None:
+        elif variant in ("premask", "premsel", "dedup", "swpipe") and (
+            ref_out is not None
+        ):
             print(f"{variant} == full:", (out == ref_out).all())
         ts = []
         for _ in range(4):
             t0 = time.perf_counter()
             for _ in range(K - 1):
-                call(vals_d, msks_d, pw)
-            call(vals_d, msks_d, pw).block_until_ready()
+                run()
+            run().block_until_ready()
             ts.append((time.perf_counter() - t0) / K)
         per = min(ts)
         print(f"{variant:8s}: {per * 1e3:7.3f} ms/sweep  "
