@@ -1,7 +1,7 @@
 # Developer entry points (the check.yml analogue: test gate, slow conformance,
 # bench, native build).
 
-.PHONY: lint test test-tpu test-slow fuzz multihost bigscan bench bench-competitors native clean
+.PHONY: lint test test-tpu test-slow fuzz multihost bigscan bench bench-competitors breakeven native clean
 
 lint:
 	python scripts/lint.py
@@ -29,6 +29,9 @@ bench:
 
 bench-competitors:
 	python benchmarks/competitors.py
+
+breakeven:
+	python scripts/breakeven.py
 
 native:
 	python -c "from sliceslice_tpu.utils import native; assert native.available()"
