@@ -227,12 +227,14 @@ def sharded_find_cols(
     real = eff > 0  # all-zero rows are padding (end 0 — never match)
     if (eff[real] == values_np.shape[1]).all():
         # Homogeneous (padding rows ride along; the kernels tolerate them).
-        # Pass the host copies (already materialized for width detection) so
-        # the premask/width-contract guards below run even for device-array
+        # Pass the ORIGINAL arrays through (device-resident tables stay on
+        # device — no re-upload per call) with the host copies (already
+        # materialized for width detection) supplied separately so the
+        # premask/width-contract guards still run even for device-array
         # inputs with exotic final masks.
         return _sharded_homogeneous(
-            dh, values_np, masks_np, ends, mesh, nblk, interpret, mode,
-            force_int64,
+            dh, values, masks, ends, mesh, nblk, interpret, mode,
+            force_int64, masks_np=masks_np,
         )
     ends_np = np.asarray(ends)
     n = values_np.shape[0]
@@ -298,6 +300,7 @@ def _sharded_homogeneous(
     interpret: Optional[bool] = None,
     mode: str = "find",
     force_int64: bool = False,
+    masks_np: Optional[np.ndarray] = None,
 ):
     if not dh.tiled:
         raise ValueError("sharded scan requires a tiled (cols) layout")
@@ -315,13 +318,15 @@ def _sharded_homogeneous(
     # masked compare (device-array tables come from build_probe_table and
     # satisfy the prefix contract by construction).
     pen_full = values.shape[1] <= scan_kernel.PROBE_UNROLL
-    if isinstance(masks, np.ndarray):
-        if pen_full and not scan_kernel._premask_classes_ok(masks):
+    if masks_np is None and isinstance(masks, np.ndarray):
+        masks_np = masks
+    if masks_np is not None:
+        if pen_full and not scan_kernel._premask_classes_ok(masks_np):
             pen_full = False
         # Same contract guard as the single-chip entry points: a partial
         # mask below the masked tail would compare unmasked in-kernel.
         scan_kernel._check_width_contract(
-            masks, values.shape[1], pen_full, False
+            masks_np, values.shape[1], pen_full, False
         )
     masks = jnp.asarray(masks, jnp.uint32)
     # Kernels use the 2-op (w & m) == v compare; re-mask defensively in case
@@ -610,11 +615,20 @@ class ShardedBatchedSearcher:
         # pair old row order with new indices.
         key = (id(pw), self.inner._epoch)
         hit = self._placed_corpus.get(key)
-        if hit is None or hit[0] is not pw:
+        if hit is None or hit[0]() is not pw:
             # FIFO capacity like the single-chip _sweep_cache: a serving loop
             # alternating several corpora re-places nothing after warmup.
-            # Entries hold a strong ref to pw, so a live key's id is stable.
-            self._placed_corpus[key] = (pw, self._tables(dh.length))
+            # Entries hold only a WEAK ref to pw — the cache must never pin
+            # a dropped corpus's packed windows (~4 bytes/corpus-byte) in
+            # HBM; a dead ref also flags id-reuse, so a recycled id can
+            # never pair a new corpus with stale tables.
+            import weakref
+
+            self._placed_corpus[key] = (weakref.ref(pw), self._tables(dh.length))
+            for k in [
+                k for k, v in self._placed_corpus.items() if v[0]() is None
+            ]:
+                del self._placed_corpus[k]
             while len(self._placed_corpus) > self._PLACED_CACHE_CAP:
                 self._placed_corpus.pop(next(iter(self._placed_corpus)))
         tabs = self._placed_corpus[key][1]
@@ -690,11 +704,14 @@ class ShardedBatchedSearcher:
             )
         return head == full[: len(head)] and peek[:tail] == full[len(head) : k]
 
-    def _huge_positions_local(self, dh) -> dict:
+    def _huge_positions_local(self, dh, first_only: bool = False) -> dict:
         """{needle index: verified global offsets (int64, ascending) whose
         first byte lies in THIS process's range}.  The prefix filter is one
         sharded bitmap pass per huge needle; verify cost is proportional to
-        the candidate count (same economics as models/huge.py)."""
+        the candidate count (same economics as models/huge.py).
+        ``first_only`` stops verifying a needle at its first confirmed
+        candidate (candidates arrive ascending) — find doesn't pay
+        count-level memcmp work on adversarial high-repetition prefixes."""
         from ..needle import build_probe_table
 
         if not self.inner._huge:
@@ -721,6 +738,8 @@ class ShardedBatchedSearcher:
                     )
                 if self._huge_match_at(lb, peek, c - base, hs._full):
                     good.append(c)
+                    if first_only:
+                        break
             out[i] = np.asarray(good, np.int64)
         return out
 
@@ -733,7 +752,7 @@ class ShardedBatchedSearcher:
         return allgather_i64(vec)
 
     def _fill_huge_find(self, out: np.ndarray, dh) -> np.ndarray:
-        pos = self._huge_positions_local(dh)
+        pos = self._huge_positions_local(dh, first_only=True)
         if not pos:
             return out
         idx = sorted(pos)

@@ -44,29 +44,39 @@ from ..ops.scan_math import SENTINEL
 
 def _file_windows(
     path, window: int, overlap: int, start: int = 0
-) -> Iterator[bytes]:
+) -> Iterator[Tuple[bytes, bool]]:
+    """Yield ``(window_bytes, is_last)``.  ``is_last`` must be computed
+    from the file size, NOT from a short read: a window whose remaining
+    bytes fall in (window, window + overlap) short-reads yet is followed
+    by one more window — inferring finality from length would lift the
+    exactly-once clamp there and double-count overlap-region matches."""
     size = os.path.getsize(path)
     with open(path, "rb") as f:
         base = start
         while base < size:
             f.seek(base)
-            yield f.read(window + overlap)
+            yield f.read(window + overlap), base + window >= size
             base += window
 
 
-def _chunk_windows(chunks: Iterable[bytes], window: int, overlap: int):
-    """Re-chunk an arbitrary byte-chunk iterator into overlapping windows.
-    Amortized O(stream) copying: append + in-place front deletion on a
-    bytearray (a bytes buffer would re-copy the whole pending window per
-    chunk — quadratic for small chunks)."""
+def _chunk_windows(
+    chunks: Iterable[bytes], window: int, overlap: int
+) -> Iterator[Tuple[bytes, bool]]:
+    """Re-chunk an arbitrary byte-chunk iterator into overlapping windows,
+    yielding ``(window_bytes, is_last)``.  Amortized O(stream) copying:
+    append + in-place front deletion on a bytearray (a bytes buffer would
+    re-copy the whole pending window per chunk — quadratic for small
+    chunks).  Full windows are never final here: the while loop always
+    leaves ``overlap`` (> 0 when any needle has length > 1) trailing bytes
+    behind, so the stream's true end is the final short yield."""
     buf = bytearray()
     for c in chunks:
         buf += c
         while len(buf) >= window + overlap:
-            yield bytes(buf[: window + overlap])
+            yield bytes(buf[: window + overlap]), False
             del buf[:window]
     if buf:
-        yield bytes(buf)
+        yield bytes(buf), True
 
 
 def _host_count_limited(data: bytes, nd: bytes, end: int) -> int:
@@ -151,12 +161,15 @@ class StreamingScanner:
             force_cols=self.mesh is not None,
         )
 
-    def _end_h(self, k: int, wlen: int) -> int:
+    def _end_h(self, k: int, wlen: int, is_last: bool) -> int:
         """Window-local valid-position bound for a length-``k`` needle:
-        matches starting in the overlap peek belong to the next window; the
-        stream's true end applies in the final window (wlen < window +
-        overlap there, so the min picks it up)."""
-        return min(self.window, wlen - k + 1)
+        matches starting in the overlap peek belong to the next window,
+        EXCEPT in the stream's final window, where the true end applies —
+        a final window may be longer than ``window`` (a chunk stream
+        shorter than window + overlap arrives as one window), so the
+        clamp must be lifted there exactly as :meth:`_group_ends` does."""
+        end = wlen - k + 1
+        return end if is_last else min(self.window, end)
 
     # -- public API --------------------------------------------------------
 
@@ -230,12 +243,14 @@ class StreamingScanner:
         )
         return grp.pad_ends(np.maximum(end_local, 0))
 
-    def _fold_huge_find(self, best, dh, wbytes: bytes, base: int) -> None:
+    def _fold_huge_find(
+        self, best, dh, wbytes: bytes, base: int, is_last: bool
+    ) -> None:
         for i, hs in self.batched._huge:
             if best[i] >= 0:
                 continue
             p = hs.find(dh)
-            if p is not None and p < self._end_h(hs.size, len(wbytes)):
+            if p is not None and p < self._end_h(hs.size, len(wbytes), is_last):
                 best[i] = base + p
 
     def _count(self, windows: Iterator[bytes]) -> np.ndarray:
@@ -243,11 +258,10 @@ class StreamingScanner:
         n = len(bs)
         totals = np.zeros((n,), dtype=np.int64)
         pending: List = []
-        for wbytes in windows:
+        for wbytes, is_last in windows:
             dh = self._prep(wbytes, need_cols=False)
-            is_last = len(wbytes) < self.window + self.overlap
             for i, hs in bs._huge:
-                end_h = self._end_h(hs.size, len(wbytes))
+                end_h = self._end_h(hs.size, len(wbytes), is_last)
                 pos = hs.positions(dh)
                 totals[i] += int((pos < end_h).sum())
             if bs.groups:
@@ -326,12 +340,11 @@ class StreamingScanner:
         pending: List[Tuple[int, jax.Array]] = []
         base = int(base0)
         since_check = 0
-        for wbytes in windows:
+        for wbytes, is_last in windows:
             # windows_only: the scan consumes packed windows only, so each
             # window pins ~4 bytes/byte on device instead of ~5.
             dh = self._prep(wbytes, need_cols=False)
-            is_last = len(wbytes) < self.window + self.overlap
-            self._fold_huge_find(best, dh, wbytes, base)
+            self._fold_huge_find(best, dh, wbytes, base, is_last)
             if bs.groups:
                 parts = []
                 blobs = []
@@ -386,11 +399,10 @@ class StreamingScanner:
         out: List[List[np.ndarray]] = [[] for _ in range(n)]
         base = int(base0)
         batch = 16  # bitmap memory bound: window/8 bytes per needle
-        for wbytes in windows:
+        for wbytes, is_last in windows:
             dh = self._prep(wbytes, need_cols=True)
-            is_last = len(wbytes) < self.window + self.overlap
             for i, hs in bs._huge:
-                end_h = self._end_h(hs.size, len(wbytes))
+                end_h = self._end_h(hs.size, len(wbytes), is_last)
                 pos = hs.positions(dh)
                 pos = pos[pos < end_h]
                 if pos.size:

@@ -314,3 +314,54 @@ def test_stream_sharded_positions(corpus):
         assert list(g) == [
             q + 2**33 for q in _host_positions_oracle(corpus, nd)
         ], nd
+
+
+def test_stream_huge_match_past_window_in_final_window():
+    """Regression: a chunk stream shorter than window + overlap arrives as
+    ONE final window whose length exceeds ``window``; the huge-needle
+    valid-position bound must use the stream's true end there (it used to
+    clamp to ``window``, silently dropping the match)."""
+    from sliceslice_tpu.searcher import overlapping_count
+
+    rng = np.random.default_rng(7)
+    hay = bytes(rng.integers(97, 123, (9_000,), dtype=np.uint8))
+    needles = [
+        hay[6_000:8_100],   # 2100-byte huge needle past window=4999
+        hay[0:5_000],       # 5000-byte huge needle at 0 (sets overlap=4999)
+        bytes(5_000),       # absent huge
+    ]
+    sc = StreamingScanner(needles, window_bytes=1)
+    assert sc.window == 4_999 and sc.overlap == 4_999
+    got = sc.find_in_chunks(iter([hay]), early_stop=False)
+    exp = oracle(hay, needles)
+    for nd, g, e in zip(needles, got, exp):
+        assert (None if g < 0 else int(g)) == e, nd[:16]
+    cnt = sc.count_in_chunks(iter([hay]))
+    assert list(cnt) == [overlapping_count(hay, nd) for nd in needles]
+    pos = sc.positions_in_chunks(iter([hay]))
+    for nd, g in zip(needles, pos):
+        assert list(g) == _host_positions_oracle(hay, nd), nd[:16]
+
+
+def test_stream_file_short_read_is_not_last(tmp_path):
+    """Regression: a file window whose remaining bytes fall in
+    (window, window + overlap) short-reads but is NOT final — finality
+    inferred from read length used to lift the exactly-once clamp there
+    and count overlap-region matches in two windows."""
+    from sliceslice_tpu.searcher import overlapping_count
+
+    blob = bytearray(b"c" * 1_005)
+    blob[1_001:1_003] = b"AB"
+    blob = bytes(blob)
+    p = tmp_path / "s.bin"
+    p.write_bytes(blob)
+    # len-8 needle sets overlap=7: window 0 reads 1005 in (1000, 1007).
+    needles = [b"AB", b"zzzzzzzz"]
+    sc = StreamingScanner(needles, window_bytes=1_000)
+    assert list(sc.count_in_file(str(p))) == [
+        overlapping_count(blob, nd) for nd in needles
+    ]
+    pos = sc.positions_in_file(str(p))
+    assert list(pos[0]) == [1_001] and list(pos[1]) == []
+    got = sc.find_in_file(str(p), early_stop=False)
+    assert int(got[0]) == 1_001 and int(got[1]) == -1
