@@ -25,9 +25,16 @@ than byte-at-a-time compares, with no data-dependent control flow.
 
 ``position`` is kept for API parity with ``with_position`` (reference:
 src/x86.rs:252-255, a DoS-hardening knob choosing the second filter byte).
-Dense evaluation has no data-dependent branching, so the adversarial-input
-slowdown that knob mitigates cannot occur here; the value is validated and
-recorded, and it selects which probe is evaluated first in filtering kernels.
+The device kernels deliberately IGNORE it: they evaluate the full dense
+probe program at every position with no data-dependent branching, so the
+adversarial-input slowdown the knob mitigates (a pathological candidate
+filter feeding a serial verify loop) structurally cannot occur — results
+and worst-case cost are identical for every valid ``position``.  The value
+is validated against the reference contract (``0 <= position < k``,
+src/x86.rs:300) and recorded on the :class:`Needle`; the only execution
+path that consults it is the host SWAR rung for tiny haystacks
+(csrc/swarscan.cpp ``swar_find_pos``), where the reference's two-byte
+filter shape survives.  ``tests/test_needle.py`` pins this behavior.
 """
 
 from __future__ import annotations

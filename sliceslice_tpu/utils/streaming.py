@@ -67,12 +67,16 @@ def _chunk_windows(
     append + in-place front deletion on a bytearray (a bytes buffer would
     re-copy the whole pending window per chunk — quadratic for small
     chunks).  Full windows are never final here: the while loop always
-    leaves ``overlap`` (> 0 when any needle has length > 1) trailing bytes
-    behind, so the stream's true end is the final short yield."""
+    keeps ``max(overlap, 1)`` trailing bytes behind, so the stream's true
+    end is ALWAYS the final short yield — including ``overlap == 0`` (all
+    needles length <= 1) with a stream length an exact multiple of
+    ``window``, where a ``>=``-with-0 loop would consume the final window
+    and mark it non-final."""
     buf = bytearray()
+    keep = max(overlap, 1)  # invariant: the final yield carries is_last
     for c in chunks:
         buf += c
-        while len(buf) >= window + overlap:
+        while len(buf) >= window + keep:
             yield bytes(buf[: window + overlap]), False
             del buf[:window]
     if buf:

@@ -82,6 +82,28 @@ def test_needle_position_contract():
         Needle(b"x" * (MAX_NEEDLE_LEN + 1))
 
 
+def test_position_recorded_but_ignored_by_device_kernels():
+    """Pins the documented ``position`` contract (needle.py module doc):
+    the value is validated and recorded for API parity, but the device
+    kernels evaluate the dense probe program regardless of it — the
+    compiled probe tables are byte-identical for every valid position,
+    and search results are identical at every position (the reference
+    merely changes WHICH byte filters first, never the answer,
+    src/x86.rs:252-255)."""
+    nd = b"hay-needle!"
+    programs = {Needle(nd, p).probes for p in range(len(nd))}
+    assert len(programs) == 1  # probe program independent of position
+    assert Needle(nd, 2).position == 2  # ... but the value is recorded
+
+    from sliceslice_tpu import DynamicSearcher
+
+    # Past HOST_HAY_BYTES so the device rung (not the host SWAR rung,
+    # which legitimately uses position) answers.
+    hay = b"xx" * 2500 + nd + b"tail"
+    for p in range(0, len(nd), 3):
+        assert DynamicSearcher(nd, p).find(hay) == 5000
+
+
 def test_build_probe_table_mixed(rng):
     needles = [b"", b"a", b"abc", b"abcd", b"abcdefgh", b"abcdefghij"]
     values, masks, lengths = build_probe_table(needles)

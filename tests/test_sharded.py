@@ -294,3 +294,36 @@ def test_sharded_cache_invalidates_on_optimize(corpus):
     assert list(sb.count_all(dh)) == [
         overlapping_count(corpus, nd) for nd in needles
     ]
+
+
+def test_placed_corpus_cache_alternate_drop_purge(corpus):
+    """Regression for the weakref/id-reuse placed-corpus cache
+    (ShardedBatchedSearcher._run_groups): alternating two corpora through
+    one searcher reuses both cache entries; dropping one corpus leaves a
+    dead weakref that the next insert purges; results stay exact
+    throughout (ADVICE r3 item 1)."""
+    import gc
+
+    mesh = make_mesh((4, 2))
+    needles = [corpus[10:15], b"absent!", b"a", corpus[444_444:444_452]]
+    sb = ShardedBatchedSearcher(needles, mesh)
+    bs = BatchedSearcher(needles)
+    dh_a = preprocess(corpus, kh=16)
+    data_b = corpus[::-1]
+    dh_b = preprocess(data_b, kh=16)
+    exp_a = bs.find_all(dh_a)
+    exp_b = bs.find_all(dh_b)
+    for _ in range(3):  # alternate: both entries stay resident
+        assert (sb.find_all(dh_a) == exp_a).all()
+        assert (sb.find_all(dh_b) == exp_b).all()
+    assert len(sb._placed_corpus) == 2
+    del dh_b
+    gc.collect()
+    # The dead entry is purged when the next distinct corpus is placed.
+    data_c = corpus[:300_000]
+    dh_c = preprocess(data_c, kh=16)
+    exp_c = bs.find_all(dh_c)
+    assert (sb.find_all(dh_c) == exp_c).all()
+    keys_alive = [k for k, v in sb._placed_corpus.items() if v[0]() is not None]
+    assert len(keys_alive) == len(sb._placed_corpus) == 2  # a + c, b purged
+    assert (sb.find_all(dh_a) == exp_a).all()
