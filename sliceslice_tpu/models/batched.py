@@ -107,12 +107,17 @@ class _Group:
         self.lengths = self.lengths[perm]
         self.values_host = self.values_host[perm]
         self.masks_host = self.masks_host[perm]
-        vals = np.array(self.values_dev)  # writable host copies
-        msks = np.array(self.masks_dev)
-        vals[: self.n] = vals[: self.n][perm]
-        msks[: self.n] = msks[: self.n][perm]
-        self.values_dev = jnp.asarray(vals, jnp.uint32)
-        self.masks_dev = jnp.asarray(msks, jnp.uint32)
+        # Rebuild the device tables from the permuted HOST copies — reading
+        # the device tables back first would cost a device->host round trip
+        # per table (measured ~300 ms of link latency across the groups,
+        # r4), for bytes we already hold.
+        rowpad = ((0, self.n_pad - self.n), (0, 0))
+        self.values_dev = jnp.asarray(
+            np.pad(self.values_host, rowpad), jnp.uint32
+        )
+        self.masks_dev = jnp.asarray(
+            np.pad(self.masks_host, rowpad), jnp.uint32
+        )
         self._ends_cache.clear()
 
     def ends_dev(self, hay_len: int) -> jnp.ndarray:
@@ -177,6 +182,9 @@ class BatchedSearcher:
         ]
         self.max_t = max((g.t for g in self.groups), default=1)
         self._base0 = jnp.asarray([0], jnp.int32)
+        #: true (unpadded) row count per group — static across reorders.
+        self._order_sizes = tuple(g.n for g in self.groups)
+        self._rebuild_order()
 
         #: fused-sweep jit closures keyed by layout shape (FIFO-evicted —
         #: each entry pins a compiled executable).
@@ -184,6 +192,17 @@ class BatchedSearcher:
         #: bumped by optimize_for (group rows permuted) so downstream
         #: caches of placed tables (ShardedBatchedSearcher) invalidate.
         self._epoch = 0
+
+    def _rebuild_order(self) -> None:
+        """Device copy of the concatenated group->input scatter order.  Kept
+        as a kernel OPERAND (not a baked constant) so optimize_for's row
+        permutation is a device_put, not a recompile of every sweep
+        program."""
+        idx = [g.indices for g in self.groups]
+        self._order_dev = jnp.asarray(
+            np.concatenate(idx).astype(np.int32)
+            if idx else np.zeros((0,), np.int32)
+        )
 
     _SWEEP_CACHE_CAP = 16
 
@@ -204,7 +223,7 @@ class BatchedSearcher:
         if fn is not None:
             return fn
         n = len(self.needles)
-        blobs = tuple(g.indices.tobytes() for g in self.groups)
+        sizes = self._order_sizes
         s = dh.s
         base0 = self._base0
         # Exact-width groups (t <= unroll limit) carry full-mask slots below
@@ -215,7 +234,7 @@ class BatchedSearcher:
         )
 
         @jax.jit
-        def sweep(pw, tables):
+        def sweep(pw, order, tables):
             parts = [
                 scan_kernel.batched_find_cols(
                     None, v, m, e, s=s, base=base0, pen_full=pf,
@@ -223,7 +242,7 @@ class BatchedSearcher:
                 )
                 for (v, m, e), (pf, lf, nr) in zip(tables, flags)
             ]
-            return _scatter_groups(n, blobs, parts)
+            return _scatter_jit(n, sizes)(order, *parts)
 
         return self._sweep_cache_put(key, sweep)
 
@@ -235,7 +254,7 @@ class BatchedSearcher:
         if fn is not None:
             return fn
         n = len(self.needles)
-        blobs = tuple(g.indices.tobytes() for g in self.groups)
+        sizes = self._order_sizes
         s = dh.s
         base0 = self._base0
         flags = tuple(
@@ -244,7 +263,7 @@ class BatchedSearcher:
         )
 
         @jax.jit
-        def sweep(pw, tables):
+        def sweep(pw, order, tables):
             parts = [
                 scan_kernel.batched_count_cols(
                     None, v, m, e, s=s, base=base0, pen_full=pf,
@@ -252,7 +271,7 @@ class BatchedSearcher:
                 )
                 for (v, m, e), (pf, lf, nr) in zip(tables, flags)
             ]
-            return _scatter_groups(n, blobs, parts)
+            return _scatter_jit(n, sizes)(order, *parts)
 
         return self._sweep_cache_put(key, sweep)
 
@@ -275,7 +294,7 @@ class BatchedSearcher:
             (g.values_dev, g.masks_dev, g.ends_dev(dh.length))
             for g in self.groups
         )
-        return self._count_sweep_fn(dh)(dh.windows(), tables)
+        return self._count_sweep_fn(dh)(dh.windows(), self._order_dev, tables)
 
     def count_all(self, hay: HaystackLike) -> np.ndarray:
         """Overlapping occurrence count per needle (int64[N]) — extension
@@ -375,37 +394,45 @@ class BatchedSearcher:
                 (g.values_dev, g.masks_dev, g.ends_dev(dh.length))
                 for g in self.groups
             )
-            return self._sweep_fn(dh)(dh.windows(), tables)
-        return _scatter_groups(
-            n, tuple(g.indices.tobytes() for g in self.groups), parts
-        )
+            return self._sweep_fn(dh)(dh.windows(), self._order_dev, tables)
+        return _scatter_jit(n, self._order_sizes)(self._order_dev, *parts)
 
     def search_all(self, hay: HaystackLike) -> np.ndarray:
         return self.find_all(hay) >= 0
 
-    def optimize_for(self, hay: HaystackLike) -> "BatchedSearcher":
-        """Adaptive block scheduling: run ONE sweep and reorder each width
-        group's rows ascending by the measured first-match offset, so
-        needles that finish together share kernel blocks and blocks retire
-        as early as possible (a block walks segments until its SLOWEST
-        needle is found).  Results are exact regardless of row order — only
-        scheduling changes.  Measured on the i386 word sweep: 3.05 ->
-        2.46 ms/sweep (+24% throughput); pays for itself after a
-        handful of repeated sweeps over corpora with similar match
-        statistics (the preprocess-once serving pattern).  Returns self."""
-        self._apply_schedule(self.find_all(hay))
+    def optimize_for(
+        self, hay: HaystackLike, firsts: Optional[np.ndarray] = None
+    ) -> "BatchedSearcher":
+        """Adaptive block scheduling: reorder each width group's rows
+        ascending by measured first-match offsets, so needles that finish
+        together share kernel blocks and blocks retire as early as possible
+        (a block walks segments until its SLOWEST needle is found).
+        Results are exact regardless of row order — only scheduling
+        changes.  Measured on the i386 word sweep: 3.10 -> 2.56 ms/sweep
+        (+21% throughput, r4).
+
+        ``firsts``: offsets from a prior :meth:`find_all` over a similar
+        corpus (-1 absent).  A serving loop is already producing these, so
+        passing them makes the reschedule a pure host-permute + device
+        upload — no measuring sweep, breaking even within a handful of
+        sweeps; omitted, ONE measuring sweep runs here.  Returns self."""
+        if firsts is None:
+            firsts = self.find_all(hay)
+        self._apply_schedule(np.asarray(firsts))
         return self
 
     def _apply_schedule(self, firsts: np.ndarray) -> None:
-        """Apply a measured first-offset schedule: reorder group rows,
-        rebuild the sweep closures (they capture index blobs), and bump the
-        epoch so downstream placed-table caches invalidate.  Shared by the
-        single-chip and sharded optimizers (each supplies its own
-        measuring sweep)."""
+        """Apply a measured first-offset schedule: reorder group rows and
+        bump the epoch so downstream placed-table caches invalidate.  The
+        sweep closures survive unchanged — tables AND the scatter order are
+        kernel operands, so a reorder is a handful of device_puts with ZERO
+        recompiles (r3's ~546-sweep break-even was recompile cost; r4
+        measures ~2 sweeps).  Shared by the single-chip and sharded
+        optimizers (each supplies its own measuring sweep)."""
         key = np.where(firsts < 0, np.iinfo(np.int64).max, firsts)
         for g in self.groups:
             g.reorder(key[g.indices])
-        self._sweep_cache.clear()
+        self._rebuild_order()
         self._epoch += 1
 
     def positions_all(
@@ -456,17 +483,13 @@ class BatchedSearcher:
 
 
 @functools.lru_cache(maxsize=64)
-def _scatter_jit(n: int, index_blobs: tuple, sizes: tuple):
-    # Keep the permutation as numpy here: this factory may first run inside
-    # another jit trace, and a device array created there would leak a
-    # tracer-tainted constant into the cached closure.
-    order_np = np.concatenate(
-        [np.frombuffer(b, dtype=np.int64) for b in index_blobs]
-    ).astype(np.int32)
+def _scatter_jit(n: int, sizes: tuple):
+    """Fused unpad+concat+scatter, keyed only on the STATIC shape facts
+    (output length, true group sizes).  The permutation itself is an
+    operand, so reordering rows (optimize_for) never recompiles this."""
 
     @jax.jit
-    def scatter(*parts):
-        order = jnp.asarray(order_np)
+    def scatter(order, *parts):
         merged = jnp.concatenate(
             [p[:sz].astype(jnp.int32) for p, sz in zip(parts, sizes)]
         )
@@ -477,8 +500,18 @@ def _scatter_jit(n: int, index_blobs: tuple, sizes: tuple):
 
 def _scatter_groups(n: int, index_blobs: tuple, parts):
     """Scatter per-group results back to input order — one fused device
-    program (unpad slices + concat + scatter)."""
+    program (unpad slices + concat + scatter).  Convenience wrapper for
+    callers holding host index blobs (streaming/sharded merge paths); the
+    hot batched sweeps call ``_scatter_jit`` with a device-resident order
+    operand directly."""
     sizes = tuple(
         len(b) // 8 for b in index_blobs
     )  # int64 indices -> true group sizes
-    return _scatter_jit(n, index_blobs, sizes)(*parts)
+    order = jnp.asarray(
+        np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in index_blobs]
+        ).astype(np.int32)
+        if index_blobs
+        else np.zeros((0,), np.int32)
+    )
+    return _scatter_jit(n, sizes)(order, *parts)
