@@ -6,21 +6,32 @@ The reference accepts arbitrary-length needles through one generic path
 verify is a serial memcmp (src/lib.rs:199-251).  The TPU kernels instead
 verify *in-kernel* with a probe table whose width scales with the needle —
 bounded by halo rows and VMEM.  Past that bound this searcher restores the
-reference's filter+verify split at a coarser grain:
+reference's filter+verify split at a coarser grain, with an adaptive verify
+tier:
 
 * **filter (device)** — scan for the needle's first ``PREFIX_LEN`` bytes
-  with the packed-bitmap op (one full-bandwidth pass, all candidate
-  positions at once).  A 64-byte prefix is a vastly stronger filter than
-  the reference's 2-byte first/last hash, so candidates are rare by
-  construction;
-* **verify (host)** — memcmp the full needle at each candidate against the
-  retained host bytes (libc speed; work proportional to the handful of
-  survivors).
+  with the device count/bitmap ops (one full-bandwidth pass).  A 64-byte
+  prefix is a vastly stronger filter than the reference's 2-byte first/last
+  hash, so candidates are rare by construction;
+* **sparse verify (host)** — when the device-counted candidate population is
+  at most ``HOST_VERIFY_MAX``, memcmp the full needle at each candidate
+  against the retained host bytes (libc speed, work proportional to the
+  survivors);
+* **dense verify (device)** — when candidates are dense (adversarial
+  repetition of the prefix — the case that degrades candidate-verify schemes
+  to O(len*k) host work), switch to the chained-bitmap verify
+  (ops/xla_backend.chained_match_bitmap): the needle is split into
+  ``CHUNK``-byte sub-tables, each scanned into a packed match bitmap, and
+  the bitmaps are AND-combined at word-aligned shifts on device.  Identical
+  chunks share one bitmap pass, so periodic adversarial needles cost ~one
+  scan; fully aperiodic dense cases cost ceil(k/4) probe passes of dense
+  vector work — branch-free and device-resident either way.
 
-Exact for find/count/positions.  Adversarial repetition of a 64-byte block
-degrades toward a host scan — the same worst case the reference's 2-byte
-filter has at far lower repetition cost (its DoS knob ``with_position``
-merely reshuffles which bytes repeat, src/x86.rs:252-255).
+All three tiers are exact for find/count/positions.  The DoS-hardening knob
+``with_position`` exists in the reference precisely because its 2-byte
+filter is cheap to saturate (src/x86.rs:252-255); here saturating the
+64-byte prefix merely selects the dense tier, which is the same dense
+evaluation the normal kernels always do.
 """
 
 from __future__ import annotations
@@ -29,15 +40,32 @@ from typing import Optional
 
 import numpy as np
 
-from ..needle import MAX_NEEDLE_LEN, Needle, NeedleLike, as_bytes
-from ..ops.layout import DeviceHaystack
-from ..searcher import HaystackLike, SearcherBase, _hay_bytes
+from ..needle import (
+    MAX_NEEDLE_LEN,
+    Needle,
+    NeedleLike,
+    as_bytes,
+    build_probe_table,
+)
+from ..ops.layout import SHORT_HAY_BYTES, DeviceHaystack
+from ..searcher import HaystackLike, SearcherBase, _hay_bytes, _host_positions
 
 #: Device-filter prefix width: 16 probe slots (the unrolled-kernel budget is
 #: irrelevant here — the bitmap op chains any static width), chosen to fit
 #: the default layout halo (needed_halo(64) = 63 <= DEFAULT_KH) so a
 #: default-preprocessed haystack needs no relayout.
 PREFIX_LEN = 64
+
+#: Chunk width of the dense (chained-bitmap) verify tier.  A multiple of 32
+#: (chunk offsets must be word-aligned bit shifts of the packed bitmaps) with
+#: a modest halo requirement (needed_halo_for_t(128) = 511 bytes -> 512 halo
+#: rows, ~12% of a max-size segment).
+CHUNK = 512
+
+#: Candidate budget of the sparse (host-memcmp) verify tier.  At ~1 us per
+#: candidate, the host tier costs at most ~20 ms; past that the dense device
+#: tier wins even for multi-chunk needles.
+HOST_VERIFY_MAX = 16384
 
 
 class HugeNeedleSearcher(SearcherBase):
@@ -61,6 +89,7 @@ class HugeNeedleSearcher(SearcherBase):
         self.needle = Needle(data[:PREFIX_LEN], min(position, PREFIX_LEN - 1))
         self._full = data
         self._position = position
+        self._chunk_plan_cache = None
 
     @property
     def size(self) -> int:
@@ -72,50 +101,143 @@ class HugeNeedleSearcher(SearcherBase):
 
     # -- candidate machinery --------------------------------------------------
 
-    def _candidates(self, hay: HaystackLike) -> tuple[np.ndarray, bytes]:
-        """(ascending candidate offsets of the prefix, host bytes)."""
+    def _as_layout(self, hay: HaystackLike):
+        """(DeviceHaystack | None, host bytes | None): tiled layouts return a
+        DeviceHaystack; small/flat haystacks return host bytes only."""
         if isinstance(hay, DeviceHaystack):
-            data = hay.host_bytes
-            if data is None:
+            if hay.tiled:
+                return hay, hay.host_bytes
+            if hay.host_bytes is None:
                 raise ValueError(
-                    "huge-needle search requires host bytes for the verify "
-                    "step (preprocess with keep_host=True)"
+                    "huge-needle search on a flat DeviceHaystack requires "
+                    "host bytes (preprocess with keep_host=True)"
                 )
-            dh: HaystackLike = hay
-        else:
-            data = _hay_bytes(hay)
-            dh = hay
-        if len(data) < len(self._full):
-            return np.empty((0,), np.int64), data
-        prefix_searcher = _prefix_searcher(self.needle)
-        return prefix_searcher.positions(dh), data
+            return None, hay.host_bytes
+        data = _hay_bytes(hay)
+        if len(data) <= max(SHORT_HAY_BYTES, len(self._full)):
+            return None, data
+        return self._layout(data), data
 
-    def _verified(self, hay: HaystackLike) -> np.ndarray:
-        cands, data = self._candidates(hay)
-        k = len(self._full)
-        out = [int(c) for c in cands if data[c : c + k] == self._full]
-        return np.asarray(out, dtype=np.int64)
+    def _candidate_count(self, dh: DeviceHaystack) -> int:
+        """Device count of prefix-filter survivors (one scan, scalar read)."""
+        return _prefix_searcher(self.needle).count_in(dh)
+
+    def _host_candidates(self, dh: DeviceHaystack) -> np.ndarray:
+        """Decoded ascending candidate offsets (sparse tier only)."""
+        return _prefix_searcher(self.needle).positions(dh)
+
+    def _dense(self, dh: DeviceHaystack):
+        """Dense tier: device (count, first, words) over the chained bitmap."""
+        from ..ops import xla_backend
+
+        uniq_tables, uniq_lens, chunk_map, offsets = self._chunk_plan()
+        from ..needle import needed_halo_for_t
+
+        dh2 = dh.ensure_halo(needed_halo_for_t(CHUNK // 4))
+        return (
+            xla_backend.chained_match_bitmap(
+                dh2.require_cols(), uniq_tables, uniq_lens, chunk_map,
+                offsets, dh2.length, dh2.s,
+            ),
+            dh2,
+        )
+
+    def _chunk_plan(self):
+        """Split the needle into CHUNK-byte sub-tables, deduplicating
+        identical chunks (periodic needles collapse to ~one table)."""
+        if self._chunk_plan_cache is None:
+            uniq: dict[bytes, int] = {}
+            chunk_map = []
+            offsets = []
+            for o in range(0, len(self._full), CHUNK):
+                cb = self._full[o : o + CHUNK]
+                if cb not in uniq:
+                    uniq[cb] = len(uniq)
+                chunk_map.append(uniq[cb])
+                offsets.append(o)
+            tables = []
+            lens = []
+            for cb in uniq:  # insertion order
+                vals, msks, _ = build_probe_table([cb])
+                tables.append((vals[0], msks[0]))
+                lens.append(len(cb))
+            self._chunk_plan_cache = (
+                tuple(tables), tuple(lens), tuple(chunk_map), tuple(offsets)
+            )
+        return self._chunk_plan_cache
+
+    def _route(self, dh: Optional[DeviceHaystack], data: Optional[bytes]):
+        """('empty'|'host'|'dense', payload) — the three-tier decision."""
+        if dh is None:
+            return "hostscan", data
+        if dh.length < len(self._full):
+            return "empty", None
+        ncand = self._candidate_count(dh)
+        if ncand == 0:
+            return "empty", None
+        if ncand <= HOST_VERIFY_MAX and data is not None:
+            return "host", self._host_candidates(dh)
+        return "dense", None
 
     # -- public API (SearcherBase signatures) ---------------------------------
 
     def find(self, hay: HaystackLike) -> Optional[int]:
-        cands, data = self._candidates(hay)
-        k = len(self._full)
-        for c in cands:
-            if data[c : c + k] == self._full:
-                return int(c)
-        return None
+        dh, data = self._as_layout(hay)
+        tier, payload = self._route(dh, data)
+        if tier == "empty":
+            return None
+        if tier == "hostscan":
+            p = data.find(self._full)
+            return None if p < 0 else p
+        if tier == "host":
+            k = len(self._full)
+            for c in payload:
+                if data[c : c + k] == self._full:
+                    return int(c)
+            return None
+        (count, first, _), _ = self._dense(dh)
+        f = int(first)
+        from ..ops.scan_math import SENTINEL
+
+        return None if f >= SENTINEL else f
 
     def count_in(self, hay: HaystackLike) -> int:
-        return int(self._verified(hay).size)
+        dh, data = self._as_layout(hay)
+        tier, payload = self._route(dh, data)
+        if tier == "empty":
+            return 0
+        if tier == "hostscan":
+            from ..searcher import overlapping_count
+
+            return overlapping_count(data, self._full)
+        if tier == "host":
+            k = len(self._full)
+            return sum(
+                1 for c in payload if data[c : c + k] == self._full
+            )
+        (count, _, _), _ = self._dense(dh)
+        return int(count)
 
     def positions(self, hay: HaystackLike) -> np.ndarray:
-        return self._verified(hay)
+        dh, data = self._as_layout(hay)
+        tier, payload = self._route(dh, data)
+        if tier == "empty":
+            return np.empty((0,), np.int64)
+        if tier == "hostscan":
+            return _host_positions(data, self._full)
+        if tier == "host":
+            k = len(self._full)
+            out = [int(c) for c in payload if data[c : c + k] == self._full]
+            return np.asarray(out, dtype=np.int64)
+        from ..ops import xla_backend
+
+        (_, _, words), dh2 = self._dense(dh)
+        return xla_backend.decode_match_bitmap(np.asarray(words), dh2.s)
 
 
 def _prefix_searcher(prefix_needle: Needle):
-    """A plain generic searcher over the prefix bytes (its ``positions``
-    drives the bitmap filter)."""
+    """A plain generic searcher over the prefix bytes (its count/positions
+    drive the candidate filter)."""
     from .pallas_searcher import searcher_for_size
 
     cls = searcher_for_size(prefix_needle.size)

@@ -225,3 +225,80 @@ def decode_match_bitmap_numpy(words: "np.ndarray", s: int) -> "np.ndarray":
     )
     pos.sort()
     return pos
+
+
+# -- chained bitmaps: device-side verify for huge needles --------------------
+#
+# A needle longer than the probe-table budget is split into fixed chunks; each
+# chunk is itself a probe table, and the needle matches at ``p`` iff chunk j
+# matches at ``p + j*CHUNK``.  The packed bitmap layout is contiguous per
+# lane (word [g, q, lane] covers positions g*seg + lane*s + 32q .. +31), so a
+# transpose to (g, lane, q) linearizes it — and chunk offsets that are
+# multiples of 32 become plain word-index shifts, making the cross-chunk AND
+# a fused slice+AND chain.  Identical chunks (periodic adversarial needles)
+# share ONE bitmap pass via ``chunk_map``, so the period-1 worst case that
+# degrades a candidate-verify scheme to O(len*k) host work runs here at
+# ~one-scan cost.  This replaces the reference's serial memcmp verify
+# (src/lib.rs:199-251) at coarse grain with dense, branch-free vector work —
+# exact for find/count/positions at any needle length.
+
+
+def bitmap_linear(words):
+    """(G, S/32, 128) packed words -> flat ascending-position word vector."""
+    g, q, lanes = words.shape
+    return words.transpose(0, 2, 1).reshape(g * lanes * q)
+
+
+def bitmap_from_linear(linear, g: int, q: int, lanes: int = 128):
+    """Inverse of :func:`bitmap_linear` (back to the decoder's layout)."""
+    return linear.reshape(g, lanes, q).transpose(0, 2, 1)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _chained_bitmap_impl(cols, uniq_tables, uniq_ends, chunk_map, word_shifts, s):
+    lins = [
+        bitmap_linear(_match_bitmap_cols_impl(cols, v, m, e, s))
+        for (v, m), e in zip(uniq_tables, uniq_ends)
+    ]
+    acc = None
+    for u, d in zip(chunk_map, word_shifts):
+        t = lins[u]
+        d = min(d, t.shape[0])  # chunk wholly past the corpus -> all-zero
+        if d:
+            t = jnp.concatenate([t[d:], jnp.zeros((d,), jnp.uint32)])
+        acc = t if acc is None else (acc & t)
+    count = jnp.sum(jax.lax.population_count(acc).astype(jnp.int32))
+    # first set bit: lowest bit of the first nonzero word.
+    lw = acc.shape[0]
+    low = acc & (jnp.uint32(0) - acc)
+    ctz = jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32)
+    pos = 32 * jnp.arange(lw, dtype=jnp.int32) + ctz
+    first = jnp.min(jnp.where(acc != jnp.uint32(0), pos, SENTINEL))
+    return count, first, bitmap_from_linear(acc, cols.shape[0], s // 32)
+
+
+def chained_match_bitmap(cols, uniq_tables, uniq_lens, chunk_map, offsets,
+                         hay_len: int, s: int):
+    """Combined match bitmap of a chunked needle over the tiled layout.
+
+    ``uniq_tables``: [(values uint32[T_u], masks uint32[T_u])] per unique
+    chunk; ``uniq_lens``: byte length of each unique chunk; ``chunk_map[j]``:
+    which unique table chunk ``j`` uses; ``offsets[j]``: its byte offset in
+    the needle (must be multiples of 32).  Returns device
+    ``(count int32, first int32 (SENTINEL absent), words uint32[G,S/32,128])``
+    — the last chunk's end bound enforces ``p <= hay_len - k`` exactly.
+    """
+    for o in offsets:
+        if o % 32:
+            raise ValueError(f"chunk offset {o} not a multiple of 32")
+    uniq = tuple(
+        (jnp.asarray(v, jnp.uint32), jnp.asarray(m, jnp.uint32))
+        for v, m in uniq_tables
+    )
+    ends = tuple(
+        jnp.asarray(max(hay_len - int(L) + 1, 0), jnp.int32)
+        for L in uniq_lens
+    )
+    return _chained_bitmap_impl(
+        cols, uniq, ends, tuple(chunk_map), tuple(o // 32 for o in offsets), s
+    )

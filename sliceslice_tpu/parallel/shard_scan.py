@@ -707,11 +707,16 @@ class ShardedBatchedSearcher:
     def _huge_positions_local(self, dh, first_only: bool = False) -> dict:
         """{needle index: verified global offsets (int64, ascending) whose
         first byte lies in THIS process's range}.  The prefix filter is one
-        sharded bitmap pass per huge needle; verify cost is proportional to
-        the candidate count (same economics as models/huge.py).
-        ``first_only`` stops verifying a needle at its first confirmed
-        candidate (candidates arrive ascending) — find doesn't pay
-        count-level memcmp work on adversarial high-repetition prefixes."""
+        sharded count pass per huge needle; when the global candidate
+        population is small, candidates are decoded and verified against
+        this process's bytes (cost proportional to survivors, same economics
+        as models/huge.py).  A dense candidate population (adversarial
+        prefix repetition) escapes to the device chained-bitmap verify over
+        the local range instead — never an O(candidates) host loop
+        (models/huge.py dense tier; VERDICT r3 item 4).  ``first_only``
+        stops verifying a needle at its first confirmed candidate
+        (candidates arrive ascending)."""
+        from ..models.huge import HOST_VERIFY_MAX
         from ..needle import build_probe_table
 
         if not self.inner._huge:
@@ -722,6 +727,23 @@ class ShardedBatchedSearcher:
             vals, msks, _ = build_probe_table([hs.needle.data])
             k = hs.size
             ends = np.asarray([max(dh.length - k + 1, 0)], np.int64)
+            # Global candidate count first (one psum'd pass): the decode
+            # readback alone is O(candidates), so the tier decision must
+            # precede it.  The count is global, hence identical on every
+            # process — all processes take the same branch.
+            ncand = int(
+                np.asarray(
+                    sharded_count_cols(
+                        dh, vals, msks, ends, self.mesh,
+                        assume_homogeneous=True,
+                    )
+                ).reshape(-1)[0]
+            )
+            if ncand > HOST_VERIFY_MAX:
+                out[i] = self._huge_dense_local(
+                    hs, first_only, lb, peek, base, own_end
+                )
+                continue
             cands = sharded_positions(dh, vals, msks, ends, self.mesh)[0]
             good = []
             for c in cands:
@@ -742,6 +764,30 @@ class ShardedBatchedSearcher:
                         break
             out[i] = np.asarray(good, np.int64)
         return out
+
+    @staticmethod
+    def _huge_dense_local(
+        hs, first_only: bool, lb: bytes, peek: bytes, base: int, own_end: int
+    ) -> np.ndarray:
+        """Dense-tier verify over THIS process's byte range: lay out
+        local bytes + (k-1)-byte peek as a local corpus and let the
+        huge searcher's tiered verify answer on device; ownership
+        (start byte in [base, own_end)) keeps results exactly-once."""
+        own = own_end - base
+        k = hs.size
+        local_hay = lb + peek[: max(k - 1, 0)]
+        if own <= 0 or len(local_hay) < k:
+            return np.empty((0,), np.int64)
+        from ..ops.layout import preprocess
+
+        dhl = preprocess(local_hay)
+        if first_only:
+            f = hs.find(dhl)
+            if f is None or f >= own:
+                return np.empty((0,), np.int64)
+            return np.asarray([base + f], np.int64)
+        pos = hs.positions(dhl)
+        return pos[pos < own] + base
 
     @staticmethod
     def _allgather_rows(vec: np.ndarray) -> np.ndarray:
@@ -834,12 +880,15 @@ class ShardedBatchedSearcher:
             out = gather_positions(out)
         return out
 
-    def optimize_for(self, dh) -> "ShardedBatchedSearcher":
+    def optimize_for(self, dh, firsts=None) -> "ShardedBatchedSearcher":
         """Adaptive block scheduling over the mesh (see
-        BatchedSearcher.optimize_for): one sharded sweep measures first
-        offsets, group rows reorder so blocks retire together on every
-        shard; the epoch bump invalidates the placed-table cache."""
-        self.inner._apply_schedule(self.find_all(dh))
+        BatchedSearcher.optimize_for): group rows reorder by first offsets
+        so blocks retire together on every shard; the epoch bump
+        invalidates the placed-table cache.  ``firsts`` from a prior
+        ``find_all`` skips the measuring sweep (serving-loop piggyback)."""
+        if firsts is None:
+            firsts = self.find_all(dh)
+        self.inner._apply_schedule(np.asarray(firsts))
         return self
 
     def search_all(self, dh) -> np.ndarray:

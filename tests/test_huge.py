@@ -170,3 +170,75 @@ def test_sharded_huge_global_corpus_requires_local_bytes(corpus):
     assert list(sb.count_all(gc2)) == [overlapping_count(corpus, corpus[5_000 : 5_000 + k])]
     pos = sb.positions_all(gc2, gather=True)
     assert np.array_equal(pos[0], _host_positions(corpus, corpus[5_000 : 5_000 + k]))
+
+
+def test_huge_dense_tier_period1():
+    """Period-1 adversarial content: EVERY position passes the 64-byte
+    prefix filter, so the sparse host-verify tier would degrade to O(len*k)
+    memcmp work — the dense tier answers on device via the chained bitmap
+    (identical chunks deduplicate to ~one scan).  Exact find/count/positions
+    parity (VERDICT r3 item 4)."""
+    k = 4096
+    nd = b"a" * k
+    hay = b"a" * 120_000 + b"b" + b"a" * 30_000
+    s = DynamicSearcher(nd)
+    dh = preprocess(hay)
+    assert s.find(dh) == 0
+    assert s.count_in(dh) == overlapping_count(hay, nd)
+    assert np.array_equal(s.positions(dh), _host_positions(hay, nd))
+    # and when the first run of 'a' is too short, the match moves past it
+    hay2 = b"a" * 3_000 + b"c" + b"a" * 50_000 + b"d" * 9_000
+    dh2 = preprocess(hay2)
+    assert s.find(dh2) == hay2.find(nd) == 3_001
+    assert s.count_in(dh2) == overlapping_count(hay2, nd)
+
+
+def test_huge_dense_tier_aperiodic(corpus, monkeypatch):
+    """Dense tier with DISTINCT chunks (no dedup): force it by shrinking the
+    host-verify budget, then check parity on present/absent needles whose
+    prefix occurs at several places."""
+    import sliceslice_tpu.models.huge as huge_mod
+
+    monkeypatch.setattr(huge_mod, "HOST_VERIFY_MAX", 2)
+    prefix = corpus[9_000 : 9_064]
+    k = 2_600
+    present = corpus[9_000 : 9_000 + k]
+    absent = prefix + b"\xff" + bytes(k - 65)
+    hay = corpus[:200_000]
+    dh = preprocess(hay)
+    for nd in (present, absent):
+        s = DynamicSearcher(nd)
+        assert s.find(dh) == (None if hay.find(nd) < 0 else hay.find(nd))
+        assert s.count_in(dh) == overlapping_count(hay, nd)
+        assert np.array_equal(s.positions(dh), _host_positions(hay, nd))
+
+
+def test_huge_dense_tier_no_host_bytes(monkeypatch):
+    """Without retained host bytes the sparse tier is unavailable; the
+    dense tier still answers exactly — provided the layout halo already
+    fits the chunk tables."""
+    import sliceslice_tpu.models.huge as huge_mod
+    from sliceslice_tpu.needle import needed_halo_for_t
+
+    monkeypatch.setattr(huge_mod, "HOST_VERIFY_MAX", 0)
+    nd = b"ab" * 1_500  # k = 3000
+    hay = b"xy" * 40_000 + b"ab" * 1_700 + b"z" * 100
+    kh = needed_halo_for_t(huge_mod.CHUNK // 4)
+    dh = preprocess(hay, kh=kh, keep_host=False)
+    s = DynamicSearcher(nd)
+    assert s.find(dh) == hay.find(nd)
+    assert s.count_in(dh) == overlapping_count(hay, nd)
+    assert np.array_equal(s.positions(dh), _host_positions(hay, nd))
+
+
+def test_huge_dense_boundary_last_valid_position():
+    """Dense tier at the exact end bound: needle occupying the final k bytes
+    matches; one byte later does not (end = len - k + 1 exactness)."""
+    k = 4_200
+    nd = b"m" * k
+    hay = b"q" * 100_000 + b"m" * k
+    s = DynamicSearcher(nd)
+    assert s.find(hay) == len(hay) - k
+    assert s.count_in(hay) == 1
+    hay_short = hay[:-1]
+    assert DynamicSearcher(nd).find(hay_short) is None
