@@ -123,6 +123,7 @@ class StreamingScanner:
         window_bytes: int = 32 * 1024 * 1024,
         check_every: int = 4,
         mesh=None,
+        prefetch: int = 2,
     ):
         self.batched = BatchedSearcher(needles)
         bs = self.batched
@@ -135,6 +136,11 @@ class StreamingScanner:
         self.window = max(window_bytes, self.overlap)
         self.check_every = check_every
         self.mesh = mesh
+        #: windows in flight beyond the one being scanned: read + host pad +
+        #: device upload of window N+1 happen on a background thread while
+        #: window N's scans dispatch (0 = fully serial ingestion).  Each
+        #: in-flight window pins ~4-5 bytes/byte of HBM.
+        self.prefetch = max(int(prefetch), 0)
         from ..needle import needed_halo_for_t
 
         self._kh = needed_halo_for_t(bs.max_t)
@@ -236,6 +242,71 @@ class StreamingScanner:
 
     # -- internals ---------------------------------------------------------
 
+    def _ingest(self, windows: Iterator[Tuple[bytes, bool]], need_cols: bool):
+        """Yield ``(dh, wbytes, is_last)`` in stream order, PIPELINED: the
+        next window's file read, host pad, and device upload run on a
+        background thread while the current window's scans dispatch — the
+        streamed analogue of the reference's load-ahead register loop
+        (src/lib.rs:263-274) at window grain.  The scan dispatches are
+        already async, so with ingestion off the critical path the stream
+        sustains ~max(ingest rate, scan rate) instead of their sum.
+        ``prefetch == 0`` degrades to the serial loop (no thread)."""
+        if self.prefetch == 0:
+            for wbytes, is_last in windows:
+                yield self._prep(wbytes, need_cols), wbytes, is_last
+            return
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        sentinel = object()
+        failure: List[BaseException] = []
+
+        def worker():
+            try:
+                for wbytes, is_last in windows:
+                    if stop.is_set():
+                        return
+                    item = (self._prep(wbytes, need_cols), wbytes, is_last)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.05)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as e:  # surfaced on the consumer side
+                failure.append(e)
+            finally:
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.05)
+                        break
+                    except queue.Full:
+                        continue
+
+        t = threading.Thread(
+            target=worker, name="sliceslice-ingest", daemon=True
+        )
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if failure:
+                        raise failure[0]
+                    return
+                yield item
+        finally:
+            # Early stop (or consumer error): unblock and retire the worker.
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)
+
     def _group_ends(self, grp, wlen: int, is_last: bool) -> np.ndarray:
         """Window-local valid-position bounds for one width group: count
         positions only in [0, window) — the overlap peek belongs to the
@@ -262,8 +333,7 @@ class StreamingScanner:
         n = len(bs)
         totals = np.zeros((n,), dtype=np.int64)
         pending: List = []
-        for wbytes, is_last in windows:
-            dh = self._prep(wbytes, need_cols=False)
+        for dh, wbytes, is_last in self._ingest(windows, need_cols=False):
             for i, hs in bs._huge:
                 end_h = self._end_h(hs.size, len(wbytes), is_last)
                 pos = hs.positions(dh)
@@ -344,10 +414,9 @@ class StreamingScanner:
         pending: List[Tuple[int, jax.Array]] = []
         base = int(base0)
         since_check = 0
-        for wbytes, is_last in windows:
-            # windows_only: the scan consumes packed windows only, so each
-            # window pins ~4 bytes/byte on device instead of ~5.
-            dh = self._prep(wbytes, need_cols=False)
+        # windows_only inside _prep: the scan consumes packed windows only,
+        # so each window pins ~4 bytes/byte on device instead of ~5.
+        for dh, wbytes, is_last in self._ingest(windows, need_cols=False):
             self._fold_huge_find(best, dh, wbytes, base, is_last)
             if bs.groups:
                 parts = []
@@ -403,8 +472,7 @@ class StreamingScanner:
         out: List[List[np.ndarray]] = [[] for _ in range(n)]
         base = int(base0)
         batch = 16  # bitmap memory bound: window/8 bytes per needle
-        for wbytes, is_last in windows:
-            dh = self._prep(wbytes, need_cols=True)
+        for dh, wbytes, is_last in self._ingest(windows, need_cols=True):
             for i, hs in bs._huge:
                 end_h = self._end_h(hs.size, len(wbytes), is_last)
                 pos = hs.positions(dh)

@@ -365,3 +365,56 @@ def test_stream_file_short_read_is_not_last(tmp_path):
     assert list(pos[0]) == [1_001] and list(pos[1]) == []
     got = sc.find_in_file(str(p), early_stop=False)
     assert int(got[0]) == 1_001 and int(got[1]) == -1
+
+
+def test_stream_prefetch_parity_and_shutdown(tmp_path, corpus):
+    """Pipelined ingestion (background read+pad+upload thread) returns
+    byte-identical results to the serial path for find/count/positions,
+    and an early stop retires the worker thread promptly."""
+    import threading
+
+    p = tmp_path / "c.bin"
+    p.write_bytes(corpus)
+    needles = [corpus[0:6], corpus[640_000:640_009], b"NOPE!", corpus[-4:]]
+    serial = StreamingScanner(needles, window_bytes=150_000, prefetch=0)
+    piped = StreamingScanner(needles, window_bytes=150_000, prefetch=3)
+    assert np.array_equal(
+        serial.find_in_file(str(p), early_stop=False),
+        piped.find_in_file(str(p), early_stop=False),
+    )
+    assert np.array_equal(
+        serial.count_in_file(str(p)), piped.count_in_file(str(p))
+    )
+    for a, b in zip(
+        serial.positions_in_file(str(p)), piped.positions_in_file(str(p))
+    ):
+        assert np.array_equal(a, b)
+    # Early stop mid-stream: all needles hit in window 0; the ingest worker
+    # must wind down instead of reading the rest of the stream forever.
+    before = threading.active_count()
+    early = StreamingScanner(
+        [corpus[10:20]], window_bytes=100_000, check_every=1, prefetch=2
+    )
+    got = early.find_in_file(str(p), early_stop=True)
+    assert int(got[0]) == 10
+    deadline = 50
+    while threading.active_count() > before and deadline:
+        threading.Event().wait(0.1)
+        deadline -= 1
+    assert not any(
+        t.name == "sliceslice-ingest" and t.is_alive()
+        for t in threading.enumerate()
+    )
+
+
+def test_stream_prefetch_propagates_reader_errors(corpus):
+    """An exception raised by the window source surfaces to the caller
+    (not swallowed in the worker thread)."""
+
+    def bad_chunks():
+        yield corpus[:100_000]
+        raise OSError("disk gone")
+
+    sc = StreamingScanner([b"zz"], window_bytes=50_000, prefetch=2)
+    with pytest.raises(OSError, match="disk gone"):
+        sc.count_in_chunks(bad_chunks())
