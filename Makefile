@@ -1,7 +1,7 @@
 # Developer entry points (the check.yml analogue: test gate, slow conformance,
 # bench, native build).
 
-.PHONY: lint test test-tpu test-slow fuzz multihost bigscan bench bench-competitors breakeven native clean
+.PHONY: lint test test-tpu test-slow fuzz multihost bigscan bench bench-competitors breakeven conformance native clean
 
 lint:
 	python scripts/lint.py
@@ -32,6 +32,9 @@ bench-competitors:
 
 breakeven:
 	python scripts/breakeven.py
+
+conformance:
+	python scripts/conformance.py
 
 native:
 	python -c "from sliceslice_tpu.utils import native; assert native.available()"

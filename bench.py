@@ -117,6 +117,23 @@ def main():
             file=sys.stderr,
         )
 
+    if on_tpu:
+        # Per-round conformance artifact (the reference CI runs the FULL
+        # i386 corpus on every push, tests/i386.rs:46-70): both sweeps in
+        # full against the bytes.find oracle, recorded machine-readably
+        # next to the bench number (VERDICT r3 item 2).
+        sys.path.insert(0, "scripts")
+        import conformance
+
+        conf = conformance.run_conformance(full=True)
+        conf_path = conformance.write_artifact(conf)
+        print(f"conformance -> {conf_path}: {conf}", file=sys.stderr)
+        if conf["long_mismatches"] or conf["short_mismatches"]:
+            print(json.dumps({"metric": "FAILED_FULL_CONFORMANCE",
+                              "value": 0.0, "unit": "GB/s",
+                              "vs_baseline": 0.0}))
+            sys.exit(1)
+
     value = m.gbps("estimate")
     reference_gbps = (4585 * 857425) / REFERENCE_SWEEP_S / 1e9
     workload = (
