@@ -416,11 +416,14 @@ def _to_host(arr) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_bitmap_call(mesh: Mesh, s: int, n: int, t: int):
+def _sharded_bitmap_call(mesh: Mesh, s: int, n_pad: int, t: int):
     """Sharded all-occurrence bitmap: the XLA bitmap op under shard_map,
-    corpus segments on the data axis, needle tables replicated (positions
-    are a per-needle host decode, so the needle axis stays unsharded).
-    Ends arrive shard-LOCAL (clipped int32, like the find/count paths)."""
+    corpus segments on the data axis AND needle rows on the needle axis —
+    each (needle block, data shard) pair computes only its own bitmap
+    block, so a 2-D mesh does no redundant vector work (r3's replicated
+    formulation cost n_needle x; VERDICT r3 item 7).  Ends arrive
+    shard-LOCAL (clipped int32, like the find/count paths); padded needle
+    rows carry end 0 and decode to nothing."""
     from ..ops import xla_backend
 
     def local_fn(cols_l, vals, msks, ends_l):
@@ -433,11 +436,11 @@ def _sharded_bitmap_call(mesh: Mesh, s: int, n: int, t: int):
         mesh=mesh,
         in_specs=(
             P(DATA_AXIS, None, None),
-            P(None, None),
-            P(None, None),
-            P(DATA_AXIS, None),
+            P(NEEDLE_AXIS, None),
+            P(NEEDLE_AXIS, None),
+            P(DATA_AXIS, NEEDLE_AXIS),
         ),
-        out_specs=P(None, DATA_AXIS, None, None),
+        out_specs=P(NEEDLE_AXIS, DATA_AXIS, None, None),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -490,41 +493,53 @@ def sharded_positions(
         )
     ends64 = np.asarray(ends, dtype=np.int64)
     bases = np.arange(n_data, dtype=np.int64) * shard_bytes
+    # Needle rows split across the needle mesh axis (padded rows get end 0,
+    # which masks every position — the kernel paths' padding convention).
+    n_needle = mesh.shape[NEEDLE_AXIS]
+    n_pad = _round_up(n, n_needle)
+    rowpad = ((0, n_pad - n), (0, 0))
+    values = np.pad(values, rowpad)
+    masks = np.pad(masks, rowpad)
+    ends64 = np.pad(ends64, ((0, n_pad - n),))
     ends2d = np.clip(
         ends64[None, :] - bases[:, None], 0, shard_bytes
     ).astype(np.int32)
+    ends2d[:, n:] = 0
 
-    run = _sharded_bitmap_call(mesh, dh.s, n, t)
+    run = _sharded_bitmap_call(mesh, dh.s, n_pad, t)
     cols = jax.device_put(cols, corpus_sharding(mesh))
     vals_d = jax.device_put(
-        jnp.asarray(values), NamedSharding(mesh, P(None, None))
+        jnp.asarray(values), NamedSharding(mesh, P(NEEDLE_AXIS, None))
     )
     msks_d = jax.device_put(
-        jnp.asarray(masks), NamedSharding(mesh, P(None, None))
+        jnp.asarray(masks), NamedSharding(mesh, P(NEEDLE_AXIS, None))
     )
     ends_d = jax.device_put(
-        ends2d, NamedSharding(mesh, P(DATA_AXIS, None))
+        ends2d, NamedSharding(mesh, P(DATA_AXIS, NEEDLE_AXIS))
     )
-    words = run(cols, vals_d, msks_d, ends_d)  # (n, g_pad, s/32, 128)
+    words = run(cols, vals_d, msks_d, ends_d)  # (n_pad, g_pad, s/32, 128)
 
     parts: dict[int, list] = {i: [] for i in range(n)}
     g_local = g_pad // n_data
-    # The needle mesh axis replicates the bitmap: decode each distinct data
-    # shard once (dedupe by its segment-range start).
-    seen: set[int] = set()
+    # Decode each distinct (needle block, data shard) block once.
+    seen: set[tuple[int, int]] = set()
     for shard in sorted(
-        words.addressable_shards, key=lambda sh: sh.index[1].start or 0
+        words.addressable_shards,
+        key=lambda sh: (sh.index[0].start or 0, sh.index[1].start or 0),
     ):
-        start = shard.index[1].start or 0
-        if start in seen:
+        i0 = shard.index[0].start or 0
+        g0 = shard.index[1].start or 0
+        if (i0, g0) in seen:
             continue
-        seen.add(start)
-        wi = np.asarray(shard.data)  # (n, g_local, s/32, 128)
-        base = (start // g_local) * shard_bytes
-        for i in range(n):
-            local = xla_backend.decode_match_bitmap(wi[i], dh.s)
+        seen.add((i0, g0))
+        wi = np.asarray(shard.data)  # (n_local, g_local, s/32, 128)
+        base = (g0 // g_local) * shard_bytes
+        for j in range(wi.shape[0]):
+            if i0 + j >= n:
+                break  # padded needle rows
+            local = xla_backend.decode_match_bitmap(wi[j], dh.s)
             if local.size:
-                parts[i].append(local + base)
+                parts[i0 + j].append(local + base)
     return [
         np.concatenate(parts[i]) if parts[i] else np.empty((0,), np.int64)
         for i in range(n)
