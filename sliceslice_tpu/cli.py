@@ -70,7 +70,30 @@ def split_needles(arg: bytes) -> list:
     return needles
 
 
-def make_searcher(backend: str, needle: bytes):
+MULTI_BACKENDS = (
+    "count", "batched", "positions",
+    "stream", "stream-count", "stream-positions",
+    "sharded", "sharded-count", "sharded-positions",
+)
+
+
+def parse_mesh(spec: str | None):
+    """``--mesh DxN`` -> a (data, needle) device mesh; None -> all devices
+    on the data axis."""
+    from .parallel import make_mesh
+
+    if spec is None:
+        import jax
+
+        return make_mesh((len(jax.devices()), 1))
+    try:
+        d, n = (int(x) for x in spec.lower().replace(",", "x").split("x"))
+    except ValueError:
+        raise SystemExit(f"invalid mesh spec {spec!r}; expected DxN, e.g. 4x2")
+    return make_mesh((d, n))
+
+
+def make_searcher(backend: str, needle: bytes, mesh_spec: str | None = None):
     """Build the backend's searcher ONCE (probe tables, groups, jit
     programs amortize across every file argument — the library's
     preprocess-once contract applied to the CLI itself)."""
@@ -81,11 +104,17 @@ def make_searcher(backend: str, needle: bytes):
         from .utils.streaming import StreamingScanner
 
         return StreamingScanner(split_needles(needle))
+    if backend in ("sharded", "sharded-count", "sharded-positions"):
+        from .parallel import ShardedBatchedSearcher
+
+        return ShardedBatchedSearcher(
+            split_needles(needle), parse_mesh(mesh_spec)
+        )
     cls = BACKENDS.get(backend)
     if cls is None:
         raise SystemExit(
             f"unknown backend {backend!r}; choose from "
-            f"{sorted(BACKENDS) + ['batched', 'count', 'positions', 'stream', 'stream-count', 'stream-positions']}"
+            f"{sorted(BACKENDS) + sorted(MULTI_BACKENDS)}"
         )
     return cls(needle)
 
@@ -95,9 +124,12 @@ def _load_for(searcher, backend: str, path: str):
     from its bucketed probe widths, so ensure_halo never relayouts)."""
     from .needle import MAX_NEEDLE_LEN, needed_halo, needed_halo_for_t
 
-    if backend in ("count", "batched", "positions"):
-        kh = needed_halo_for_t(searcher.max_t)
-        if searcher._huge:
+    if backend in ("count", "batched", "positions") or backend.startswith(
+        "sharded"
+    ):
+        bs = searcher.inner if backend.startswith("sharded") else searcher
+        kh = needed_halo_for_t(bs.max_t)
+        if bs._huge:
             kh = max(kh, 63)  # the huge-needle 64-byte prefix filter
     else:
         k = searcher.size
@@ -117,15 +149,15 @@ def run_on_file(searcher, backend: str, path: str):
     if backend == "stream-positions":
         pos = searcher.positions_in_file(path)
         return [(p.size > 0, p) for p in pos]
-    if backend == "count":
+    if backend in ("count", "sharded-count"):
         dh = _load_for(searcher, backend, path)
         counts = searcher.count_all(dh)
         return [(int(c) > 0, int(c)) for c in counts]
-    if backend == "batched":
+    if backend in ("batched", "sharded"):
         dh = _load_for(searcher, backend, path)
         offs = searcher.find_all(dh)
         return [(o >= 0, None if o < 0 else int(o)) for o in offs]
-    if backend == "positions":
+    if backend in ("positions", "sharded-positions"):
         dh = _load_for(searcher, backend, path)
         pos = searcher.positions_all(dh)
         return [(p.size > 0, p) for p in pos]
@@ -142,23 +174,30 @@ def search_in_file(backend: str, needle: bytes, path: str):
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    mesh_spec = None
+    for i, a in enumerate(list(argv)):
+        if a.startswith("--mesh"):
+            mesh_spec = a.split("=", 1)[1] if "=" in a else argv[i + 1]
+            del argv[i : i + (1 if "=" in a else 2)]
+            break
     if len(argv) < 3:
         print(
-            "usage: python -m sliceslice_tpu.cli <backend> <needle> <file>...",
+            "usage: python -m sliceslice_tpu.cli [--mesh DxN] "
+            "<backend> <needle> <file>...",
             file=sys.stderr,
         )
         return 2
     backend, needle, *files = argv
     needle_b = needle.encode("utf-8")
-    searcher = make_searcher(backend, needle_b)  # once, for every file
+    searcher = make_searcher(backend, needle_b, mesh_spec)  # once, for every file
     rc = 1
     for path in files:
         res = run_on_file(searcher, backend, path)
-        if backend in ("count", "stream-count"):
+        if backend in ("count", "stream-count", "sharded-count"):
             for nd, (found, c) in zip(split_needles(needle_b), res):
                 print(f"{path}: {nd.decode('utf-8', 'replace')}: {c}")
                 rc = 0 if found else rc
-        elif backend in ("positions", "stream-positions"):
+        elif backend in ("positions", "stream-positions", "sharded-positions"):
             for nd, (found, pos) in zip(split_needles(needle_b), res):
                 shown = ",".join(map(str, pos[:100].tolist()))
                 more = f" (+{pos.size - 100} more)" if pos.size > 100 else ""
@@ -167,7 +206,7 @@ def main(argv=None):
                     f"{shown if found else 'no match'}{more}"
                 )
                 rc = 0 if found else rc
-        elif backend in ("batched", "stream"):
+        elif backend in ("batched", "stream", "sharded"):
             for nd, (found, off) in zip(split_needles(needle_b), res):
                 print(f"{path}: {nd.decode('utf-8', 'replace')}: "
                       f"{'match at ' + str(off) if found else 'no match'}")

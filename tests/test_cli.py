@@ -127,3 +127,39 @@ def test_cli_multiple_files_reuse_searcher(tmp_path, capsys):
     out = capsys.readouterr().out
     assert f"{p1}: ipsum: match at 2" in out
     assert f"{p2}: ipsum: no match" in out
+
+
+def test_cli_sharded_backends(tmp_path, capsys):
+    """The L5 distributed scanner behind the grep workflow (reference grep
+    reaches every backend by string, examples/grep.rs:12-40): find/count/
+    positions over the virtual device mesh, with an explicit --mesh shape."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device virtual mesh")
+    rng = __import__("numpy").random.default_rng(11)
+    corpus = bytes(rng.integers(97, 110, (300_000,), dtype="uint8"))
+    p = tmp_path / "hay.bin"
+    p.write_bytes(corpus)
+    nd = corpus[123_456:123_468].decode()
+    assert main(["--mesh", "4x2", "sharded", nd + ",zzqqy", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert f"{nd}: match at 123456" in out
+    assert "zzqqy: no match" in out
+    assert main([f"--mesh=2x4", "sharded-count", nd, str(p)]) == 0
+    out = capsys.readouterr().out
+    assert f"{nd}: 1" in out
+    assert main(["sharded-positions", nd, str(p)]) == 0  # default mesh
+    out = capsys.readouterr().out
+    assert f"{nd}: 123456" in out
+
+
+def test_cli_sharded_bad_mesh(tmp_path):
+    p = tmp_path / "h.txt"
+    p.write_bytes(b"abc" * 100)
+    import pytest
+
+    with pytest.raises(SystemExit, match="invalid mesh"):
+        main(["--mesh", "nope", "sharded", "abc", str(p)])
