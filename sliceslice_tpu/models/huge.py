@@ -136,7 +136,7 @@ class HugeNeedleSearcher(SearcherBase):
         dh2 = dh.ensure_halo(needed_halo_for_t(CHUNK // 4))
         return (
             xla_backend.chained_match_bitmap(
-                dh2.require_cols(), uniq_tables, uniq_lens, chunk_map,
+                dh2.windows(), uniq_tables, uniq_lens, chunk_map,
                 offsets, dh2.length, dh2.s,
             ),
             dh2,

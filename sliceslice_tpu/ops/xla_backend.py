@@ -255,9 +255,53 @@ def bitmap_from_linear(linear, g: int, q: int, lanes: int = 128):
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def _chained_bitmap_impl(cols, uniq_tables, uniq_ends, chunk_map, word_shifts, s):
+def _chained_bitmap_impl(pw, uniq_tables, uniq_ends, chunk_map, word_shifts, s):
+    """Consumes the layout's PRE-PACKED windows (no byte tiles needed) and
+    walks segments with ``lax.map`` + a ``fori_loop`` probe chain, so live
+    temporaries stay segment-sized: one (s, 128) accumulator and one probe
+    window per step.  (A vmapped unrolled-probe formulation materialized
+    per-probe corpus-sized intermediates — 20+ GB of HLO temps on a 120 MB
+    corpus; r4.)"""
+    g = pw.shape[0]
+    seg = s * 128
+    BLK = 8  # probes per unrolled block (tables pre-padded to a multiple)
+
+    def chunk_bitmap(values, masks, end):
+        t_num = values.shape[0]
+        assert t_num % BLK == 0, "chained tables must be padded to BLK"
+
+        def one_seg(args):
+            p, gi = args
+
+            def body(b, acc):
+                # One dynamic slice per BLOCK, static slices within it:
+                # 8 fused compares per loop step instead of one.
+                base = 4 * BLK * b
+                big = jax.lax.dynamic_slice_in_dim(
+                    p, base, s + 4 * (BLK - 1), axis=0
+                )
+                for j in range(BLK):
+                    acc = jnp.logical_and(
+                        acc,
+                        (big[4 * j : 4 * j + s] & masks[BLK * b + j])
+                        == values[BLK * b + j],
+                    )
+                return acc
+
+            acc = jax.lax.fori_loop(
+                0, t_num // BLK, body, jnp.ones((s, 128), jnp.bool_)
+            )
+            pos = segment_positions(s) + gi * seg
+            valid = jnp.logical_and(acc, pos < end)
+            w = valid.reshape(s // 32, 32, 128).astype(jnp.uint32)
+            shifts = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+            return jnp.sum(w << shifts, axis=1, dtype=jnp.uint32)
+
+        words = jax.lax.map(one_seg, (pw, jnp.arange(g, dtype=jnp.int32)))
+        return bitmap_linear(words)
+
     lins = [
-        bitmap_linear(_match_bitmap_cols_impl(cols, v, m, e, s))
+        chunk_bitmap(v, m, e)
         for (v, m), e in zip(uniq_tables, uniq_ends)
     ]
     acc = None
@@ -274,13 +318,14 @@ def _chained_bitmap_impl(cols, uniq_tables, uniq_ends, chunk_map, word_shifts, s
     ctz = jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32)
     pos = 32 * jnp.arange(lw, dtype=jnp.int32) + ctz
     first = jnp.min(jnp.where(acc != jnp.uint32(0), pos, SENTINEL))
-    return count, first, bitmap_from_linear(acc, cols.shape[0], s // 32)
+    return count, first, bitmap_from_linear(acc, g, s // 32)
 
 
-def chained_match_bitmap(cols, uniq_tables, uniq_lens, chunk_map, offsets,
+def chained_match_bitmap(pw, uniq_tables, uniq_lens, chunk_map, offsets,
                          hay_len: int, s: int):
     """Combined match bitmap of a chunked needle over the tiled layout.
 
+    ``pw``: the layout's packed uint32 windows (DeviceHaystack.windows());
     ``uniq_tables``: [(values uint32[T_u], masks uint32[T_u])] per unique
     chunk; ``uniq_lens``: byte length of each unique chunk; ``chunk_map[j]``:
     which unique table chunk ``j`` uses; ``offsets[j]``: its byte offset in
@@ -288,11 +333,22 @@ def chained_match_bitmap(cols, uniq_tables, uniq_lens, chunk_map, offsets,
     ``(count int32, first int32 (SENTINEL absent), words uint32[G,S/32,128])``
     — the last chunk's end bound enforces ``p <= hay_len - k`` exactly.
     """
+    import numpy as np
+
     for o in offsets:
         if o % 32:
             raise ValueError(f"chunk offset {o} not a multiple of 32")
+    # Pad each table to the impl's probe-block multiple with mask-0 slots
+    # (mask 0 -> trivially true) so the block loop needs no remainder arm.
+    BLK = 8
+
+    def _pad(a):
+        a = np.asarray(a, np.uint32)
+        r = (-len(a)) % BLK
+        return np.pad(a, ((0, r),))
+
     uniq = tuple(
-        (jnp.asarray(v, jnp.uint32), jnp.asarray(m, jnp.uint32))
+        (jnp.asarray(_pad(v)), jnp.asarray(_pad(m)))
         for v, m in uniq_tables
     )
     ends = tuple(
@@ -300,5 +356,5 @@ def chained_match_bitmap(cols, uniq_tables, uniq_lens, chunk_map, offsets,
         for L in uniq_lens
     )
     return _chained_bitmap_impl(
-        cols, uniq, ends, tuple(chunk_map), tuple(o // 32 for o in offsets), s
+        pw, uniq, ends, tuple(chunk_map), tuple(o // 32 for o in offsets), s
     )
