@@ -162,6 +162,14 @@ def main():
         detail["short_sweep_ms"] = round(1e3 * short.low / K, 4)
         detail["kernels"] = kernel_times(bs, dh, K)
         print(f"per-kernel: {detail['kernels']}", file=sys.stderr)
+        # Best-effort xprof capture of one sweep (per-kernel hardware view
+        # in TensorBoard; the measured table above is the recorded metric).
+        try:
+            from sliceslice_tpu.utils.profiling import trace
+
+            detail["xprof_logdir"] = trace(lambda: bs.find_all_device(dh))
+        except Exception as e:  # pragma: no cover
+            detail["xprof_logdir"] = f"unavailable: {e!r}"
 
     if on_tpu:
         # Streaming tier: sustained GB/s over a real 1 GiB file with
