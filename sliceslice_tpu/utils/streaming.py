@@ -83,6 +83,35 @@ def _chunk_windows(
         yield bytes(buf), True
 
 
+@jax.jit
+def _count_fold64(hi, lo, c):
+    """Two-limb uint32 device accumulator: exact mod-2^64 totals with NO
+    device->host traffic per window (the host link enters a ~40x slower
+    bulk-transfer mode after the first data readback on some transports —
+    measured on the axon tunnel, r4 — so streamed folds stay on device and
+    the stream reads back ONCE at the end)."""
+    c = c.astype(jnp.uint32)
+    lo2 = lo + c
+    carry = (lo2 < c).astype(jnp.uint32)
+    return hi + carry, lo2
+
+
+@jax.jit
+def _first_fold(best_w, best_l, w_idx, local):
+    """Lexicographic (window, local-offset) min, both int32 — windows
+    arrive in stream order, so the smallest (window, local) pair IS the
+    global first match; combined to int64 on host once at stream end."""
+    cand_w = jnp.where(local < SENTINEL, w_idx, jnp.int32(SENTINEL))
+    better = jnp.logical_or(
+        cand_w < best_w,
+        jnp.logical_and(cand_w == best_w, local < best_l),
+    )
+    return (
+        jnp.where(better, cand_w, best_w),
+        jnp.where(better, local, best_l),
+    )
+
+
 def _host_count_limited(data: bytes, nd: bytes, end: int) -> int:
     """Overlapping occurrences of ``nd`` starting at positions < ``end``."""
     c = 0
@@ -240,6 +269,72 @@ class StreamingScanner:
             base0=start_offset,
         )
 
+    def warmup(self) -> "StreamingScanner":
+        """Compile every kernel shape the stream will use, WITHOUT a single
+        device->host data readback: two synthetic windows (a full one and a
+        trailing short one) run through the find and count kernels, blocked
+        on device.  Use before timed runs — and on transports where the
+        first data readback permanently degrades bulk transfer bandwidth
+        (see _count_fold64), call this so the stream itself runs at full
+        link speed and reads back once at the end."""
+        shapes = [
+            (b"\x00" * (self.window + self.overlap), False),
+            (
+                b"\x00"
+                * max(min(self.window, 1 << 20), self.overlap + 1),
+                True,
+            ),
+        ]
+        for wbytes, is_last in shapes:
+            dh = self._prep(wbytes, need_cols=False)
+            outs = []
+            for grp in self.batched.groups:
+                ends = self._group_ends(grp, len(wbytes), is_last)
+                if self.mesh is not None:
+                    from ..parallel.shard_scan import (
+                        sharded_count_cols,
+                        sharded_find_cols,
+                    )
+
+                    outs.append(
+                        sharded_find_cols(
+                            dh, grp.values_dev, grp.masks_dev, ends,
+                            self.mesh, assume_homogeneous=True,
+                        )
+                    )
+                    outs.append(
+                        sharded_count_cols(
+                            dh, grp.values_dev, grp.masks_dev, ends,
+                            self.mesh, assume_homogeneous=True,
+                        )
+                    )
+                elif not dh.tiled:
+                    from ..ops import xla_backend
+
+                    outs.append(
+                        xla_backend.find_batched_flat(
+                            dh.flat, grp.values_dev, grp.masks_dev,
+                            jnp.asarray(ends.astype(np.int32)),
+                        )
+                    )
+                else:
+                    kw = dict(s=dh.s, pw=dh.windows())
+                    outs.append(
+                        scan_kernel.batched_find_cols(
+                            None, grp.values_dev, grp.masks_dev,
+                            ends.astype(np.int32), **kw,
+                        )
+                    )
+                    outs.append(
+                        scan_kernel.batched_count_cols(
+                            None, grp.values_dev, grp.masks_dev,
+                            ends.astype(np.int32), **kw,
+                        )
+                    )
+            for o in outs:
+                jax.block_until_ready(o)
+        return self
+
     # -- internals ---------------------------------------------------------
 
     def _ingest(self, windows: Iterator[Tuple[bytes, bool]], need_cols: bool):
@@ -332,19 +427,45 @@ class StreamingScanner:
         bs = self.batched
         n = len(bs)
         totals = np.zeros((n,), dtype=np.int64)
+        # Device two-limb accumulator: window counts fold ON DEVICE and the
+        # stream reads back once at the end — zero mid-stream device->host
+        # traffic (see _count_fold64), constant device memory.  Host-side
+        # parts (the sharded int64 guard path) fold on host as before.
+        hi = lo = None
         pending: List = []
+        since = 0
         for dh, wbytes, is_last in self._ingest(windows, need_cols=False):
             for i, hs in bs._huge:
                 end_h = self._end_h(hs.size, len(wbytes), is_last)
                 pos = hs.positions(dh)
                 totals[i] += int((pos < end_h).sum())
             if bs.groups:
-                pending.append(self._count_window(dh, wbytes, is_last))
-            if len(pending) >= self.check_every:
-                # Bound retained device buffers (a multi-TB stream would
-                # otherwise queue one per window before any readback).
+                merged = self._count_window(dh, wbytes, is_last)
+                if isinstance(merged, np.ndarray) or self.mesh is not None:
+                    # Host int64 parts, and mesh streams (replicated
+                    # multi-process arrays keep the proven host fold).
+                    pending.append(merged)
+                else:
+                    if hi is None:
+                        hi = jnp.zeros((n,), jnp.uint32)
+                        lo = jnp.zeros((n,), jnp.uint32)
+                    hi, lo = _count_fold64(hi, lo, merged)
+            since += 1
+            if since >= self.check_every:
+                since = 0
                 self._fold_counts(totals, pending)
+                if lo is not None:
+                    # Drain the device queue (a wait, NOT a readback): an
+                    # unsynced stream piles ~10 windows x ~320 MB of
+                    # in-flight transient buffers and collapses to single-
+                    # digit MB/s under allocator backpressure (measured
+                    # 6 -> 350 MB/s with this cadence, r4).
+                    jax.block_until_ready(lo)
         self._fold_counts(totals, pending)
+        if hi is not None:
+            totals += (np.asarray(hi).astype(np.int64) << 32) + np.asarray(
+                lo
+            ).astype(np.int64)
         return totals
 
     def _count_window(self, dh, wbytes: bytes, is_last: bool):
@@ -411,8 +532,15 @@ class StreamingScanner:
         # Device results stay window-local int32 and fold every check_every
         # windows (and at the end) — no per-window sync, bounded buffers.
         best = np.full((n,), -1, dtype=np.int64)
+        # Device lexicographic-(window, local) accumulator: window results
+        # fold ON DEVICE and the stream reads back once at the end (plus a
+        # small cadence snapshot only when early_stop needs one) — see
+        # _first_fold.  Host-side parts (the sharded int64 guard path) keep
+        # the host fold.
+        best_w = best_l = None
         pending: List[Tuple[int, jax.Array]] = []
         base = int(base0)
+        w_idx = 0
         since_check = 0
         # windows_only inside _prep: the scan consumes packed windows only,
         # so each window pins ~4 bytes/byte on device instead of ~5.
@@ -448,20 +576,58 @@ class StreamingScanner:
                         )
                     parts.append(local)
                     blobs.append(grp.indices.tobytes())
-                pending.append(
-                    (base, self._merge_parts(parts, blobs, absent=-1))
-                )
+                merged = self._merge_parts(parts, blobs, absent=-1)
+                if isinstance(merged, np.ndarray) or self.mesh is not None:
+                    # Host int64 parts, and mesh streams (replicated
+                    # multi-process arrays keep the proven host fold).
+                    pending.append((base, merged))
+                else:
+                    if best_w is None:
+                        best_w = jnp.full((n,), SENTINEL, jnp.int32)
+                        best_l = jnp.full((n,), SENTINEL, jnp.int32)
+                    best_w, best_l = _first_fold(
+                        best_w, best_l, jnp.int32(w_idx), merged
+                    )
             base += self.window
+            w_idx += 1
             since_check += 1
             if since_check >= self.check_every:
-                # Fold on cadence regardless of early_stop — bounds retained
-                # device buffers on arbitrarily long streams.
                 since_check = 0
                 self._fold(best, pending)
-                if early_stop and (best >= 0).all():
+                if best_w is not None:
+                    # Drain the device queue (a wait, NOT a readback) —
+                    # bounds in-flight window buffers; see _count's note.
+                    jax.block_until_ready(best_w)
+                if early_stop and self._all_found(best, best_w):
                     break
         self._fold(best, pending)
+        self._combine_device_first(best, best_w, best_l, base0)
         return best
+
+    def _all_found(self, best: np.ndarray, best_w) -> bool:
+        """Early-stop check.  Reads the device accumulator (a small
+        readback; on transports where the first data readback drops bulk
+        bandwidth — see _count_fold64 — this is the documented cost of
+        early_stop=True)."""
+        if best_w is None:
+            return bool((best >= 0).all())
+        found_dev = np.asarray(best_w) < SENTINEL
+        ok = np.where(
+            self._kernel_slot, (best >= 0) | found_dev, best >= 0
+        )
+        return bool(ok.all())
+
+    def _combine_device_first(
+        self, best: np.ndarray, best_w, best_l, base0: int
+    ) -> None:
+        """One final readback of the device (window, local) pairs -> int64
+        global offsets for kernel-group slots still unset."""
+        if best_w is None:
+            return
+        bw = np.asarray(best_w).astype(np.int64)
+        bl = np.asarray(best_l).astype(np.int64)
+        upd = (bw < SENTINEL) & self._kernel_slot & (best < 0)
+        best[upd] = base0 + bw[upd] * self.window + bl[upd]
 
     def _positions(self, windows: Iterator[bytes], base0: int = 0) -> list:
         """Per-window bitmap scan + host decode (readback-bound, like the
