@@ -173,14 +173,23 @@ def main():
 
     if on_tpu:
         # Streaming tier: sustained GB/s over a real 1 GiB file with
-        # pipelined ingestion, plus the host link's measured upload
-        # bandwidth that ceilings it (VERDICT r3 item 1).  Best-effort:
-        # a failure here must not sink the headline run.
+        # pipelined ingestion and the one-readback device-fold protocol
+        # (VERDICT r3 item 1).  Runs in a FRESH subprocess: this process
+        # has already read results back, and on this transport the first
+        # readback permanently drops bulk transfer bandwidth ~40x
+        # (docs/ROUND4_RESPONSE.md) — an in-process stream would measure
+        # the collapsed link, not the scanner.  Best-effort: a failure
+        # here must not sink the headline run.
         sys.path.insert(0, "scripts")
         try:
-            import stream_bench
+            import subprocess
 
-            detail["streaming"] = stream_bench.run(size=1 << 30)
+            proc = subprocess.run(
+                [sys.executable, "scripts/stream_bench.py", str(1 << 30)],
+                capture_output=True, text=True, timeout=1500,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            detail["streaming"] = json.loads(line)
             print(f"streaming: {detail['streaming']}", file=sys.stderr)
         except Exception as e:  # pragma: no cover
             detail["streaming"] = {"error": repr(e)}

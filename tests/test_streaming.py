@@ -418,3 +418,35 @@ def test_stream_prefetch_propagates_reader_errors(corpus):
     sc = StreamingScanner([b"zz"], window_bytes=50_000, prefetch=2)
     with pytest.raises(OSError, match="disk gone"):
         sc.count_in_chunks(bad_chunks())
+
+
+def test_device_fold_primitives_exact():
+    """The on-device stream folds: two-limb counts stay exact past 2^32,
+    and the (window, local) first-match fold is lexicographic with absent
+    windows never overwriting."""
+    import jax.numpy as jnp
+
+    from sliceslice_tpu.ops.scan_math import SENTINEL
+    from sliceslice_tpu.utils.streaming import _count_fold64, _first_fold
+
+    hi = jnp.zeros((1,), jnp.uint32)
+    lo = jnp.zeros((1,), jnp.uint32)
+    step = (1 << 31) - 1
+    for _ in range(5):  # total 5*(2^31-1) > 2^32: exercises the carry limb
+        hi, lo = _count_fold64(hi, lo, jnp.asarray([step], jnp.int32))
+    assert (int(np.asarray(hi)[0]) << 32) + int(np.asarray(lo)[0]) == 5 * step
+
+    bw = jnp.full((3,), SENTINEL, jnp.int32)
+    bl = jnp.full((3,), SENTINEL, jnp.int32)
+    # window 0: needle1 at 7; window 1: needle0 at 9, needle1 at 3 (later
+    # window must NOT beat window 0's hit), needle2 absent throughout.
+    bw, bl = _first_fold(
+        bw, bl, jnp.int32(0),
+        jnp.asarray([SENTINEL, 7, SENTINEL], jnp.int32),
+    )
+    bw, bl = _first_fold(
+        bw, bl, jnp.int32(1),
+        jnp.asarray([9, 3, SENTINEL], jnp.int32),
+    )
+    assert list(np.asarray(bw)) == [1, 0, SENTINEL]
+    assert list(np.asarray(bl)) == [9, 7, SENTINEL]
