@@ -16,6 +16,18 @@ global offset is folded on host in int64, so streams of any length — well
 past the 2 GiB int32 range — report exact first-match offsets (the
 reference is offset-size agnostic via usize, src/lib.rs:253-287).
 
+Two properties keep the hot stream at link speed on high-latency
+transports (r5): every window — including the stream's final short one —
+is zero-padded to ONE fixed layout shape (``_wcap``), so the whole stream
+runs through kernels :meth:`StreamingScanner.warmup` compiled up front
+(no mid-stream Mosaic compile — the dominant term in r4's recorded
+collapse); and each window issues ONE fused jit program (group kernels +
+input-order scatter + device fold — the streaming analogue of the batched
+``_sweep_fn``), with the full-window ``ends`` constants and the scatter
+order resident on device once per stream instead of re-uploaded per
+window.  Per-window wall/read/prep/dispatch/drain times are accumulated
+in :attr:`StreamingScanner.stats` so a slow stream is self-attributing.
+
 All three query modes run over streams: ``find`` (first offset, early
 stop), ``count`` (overlapping totals), and ``positions`` (every offset —
 the streamed ``find_iter`` capability; per-window packed bitmaps decoded
@@ -30,6 +42,8 @@ where it starts.
 from __future__ import annotations
 
 import os
+import threading
+import time
 from typing import Iterable, Iterator, List, Sequence, Tuple
 
 import jax
@@ -163,8 +177,23 @@ class StreamingScanner:
         # A needle longer than the window would otherwise make every window
         # mostly overlap; growing the window bounds re-read at <= 2x.
         self.window = max(window_bytes, self.overlap)
+        #: fixed per-window device byte capacity: EVERY window — including
+        #: the stream's final short one — is zero-padded to this length
+        #: before layout, so the whole stream runs through ONE compiled
+        #: kernel shape.  Padding is semantically free (per-window ``ends``
+        #: bound valid positions to the true bytes) and removes the
+        #: mid-stream Mosaic recompile a short trailing window used to
+        #: trigger (10-65 s on a remote-device transport — the dominant
+        #: term in r4's recorded 0.011 GB/s stream).
+        self._wcap = self.window + self.overlap
         self.check_every = check_every
         self.mesh = mesh
+        #: per-stream instrumentation (reset at each public call; read via
+        #: :meth:`stats_summary`): accumulated read/prep/dispatch/drain
+        #: seconds plus per-window wall latencies — a slow stream is
+        #: self-attributing instead of prose-explained.
+        self.stats: dict = {}
+        self._stats_lock = threading.Lock()
         #: windows in flight beyond the one being scanned: read + host pad +
         #: device upload of window N+1 happen on a background thread while
         #: window N's scans dispatch (0 = fully serial ingestion).  Each
@@ -183,22 +212,86 @@ class StreamingScanner:
         self._kernel_slot = np.zeros((len(bs),), dtype=bool)
         for grp in bs.groups:
             self._kernel_slot[grp.indices] = True
+        # Hoisted per-group ends for FULL (non-final) windows: with the
+        # fixed _wcap layout, every full window's valid-position bound is
+        # exactly ``window`` for every needle (window >= overlap >= k - 1),
+        # so these device arrays upload ONCE per scanner instead of once
+        # per (group, window) — r4's per-window constant re-upload.
+        self._ends_full_dev = tuple(
+            jnp.asarray(grp.pad_ends(np.full((grp.n,), self.window,
+                                             np.int32)))
+            for grp in bs.groups
+        )
+        #: fused per-window jit programs, built lazily on the first tiled
+        #: window (one layout shape per stream — see _wcap).
+        self._step_cache: dict = {}
+
+    # -- instrumentation ---------------------------------------------------
+
+    def _reset_stats(self, mode: str) -> None:
+        self.stats = {
+            "mode": mode, "windows": 0, "bytes": 0, "read_s": 0.0,
+            "prep_s": 0.0, "dispatch_s": 0.0, "drain_s": 0.0,
+            "window_ms": [],
+        }
+
+    def _stats_add(self, key: str, dt: float) -> None:
+        with self._stats_lock:
+            self.stats[key] = self.stats.get(key, 0.0) + dt
+
+    def stats_summary(self) -> dict:
+        """Per-stream attribution of the LAST stream run: accumulated
+        seconds in file read, window prep (pad + layout + upload issue),
+        scan dispatch, and device drain, plus p50/p90 per-window wall
+        latency.  Read/prep run on the prefetch thread when pipelining is
+        on, so their sum can exceed the stream's wall time (overlap)."""
+        s = dict(self.stats)
+        wm = s.pop("window_ms", [])
+        out = {k: (round(v, 4) if isinstance(v, float) else v)
+               for k, v in s.items()}
+        if wm:
+            q = np.percentile(np.asarray(wm), [50, 90])
+            out["window_p50_ms"] = round(float(q[0]), 2)
+            out["window_p90_ms"] = round(float(q[1]), 2)
+        return out
+
+    def _timed_windows(self, it: Iterator) -> Iterator:
+        """Attribute time spent pulling from the raw window source (file
+        read / chunk assembly) to ``read_s``."""
+        while True:
+            t0 = time.perf_counter()
+            try:
+                item = next(it)
+            except StopIteration:
+                return
+            finally:
+                self._stats_add("read_s", time.perf_counter() - t0)
+            yield item
 
     # -- window layout ---------------------------------------------------
 
     def _prep(self, wbytes: bytes, need_cols: bool):
-        """Per-window device layout.  Huge needles keep the window's host
-        bytes (their verify memcmps against them) and byte tiles (their
-        prefix filter is the bitmap op); find/count-only kernel scans keep
-        packed windows only (~4 bytes/byte on device instead of ~5)."""
+        """Per-window device layout.  Every window is zero-padded to the
+        fixed ``_wcap`` length first, so the stream compiles exactly ONE
+        kernel shape (see ``_wcap``; per-window ``ends`` clamp validity to
+        the true bytes, so the padding can never produce a counted match).
+        Huge needles keep the window's host bytes (their verify memcmps
+        against them) and byte tiles (their prefix filter is the bitmap
+        op); find/count-only kernel scans keep packed windows only
+        (~4 bytes/byte on device instead of ~5)."""
+        t0 = time.perf_counter()
+        if len(wbytes) < self._wcap:
+            wbytes = wbytes + b"\x00" * (self._wcap - len(wbytes))
         huge = bool(self.batched._huge)
-        return preprocess(
+        dh = preprocess(
             wbytes,
             kh=self._kh,
             keep_host=huge,
             windows_only=not (huge or need_cols),
             force_cols=self.mesh is not None,
         )
+        self._stats_add("prep_s", time.perf_counter() - t0)
+        return dh
 
     def _end_h(self, k: int, wlen: int, is_last: bool) -> int:
         """Window-local valid-position bound for a length-``k`` needle:
@@ -269,70 +362,123 @@ class StreamingScanner:
             base0=start_offset,
         )
 
-    def warmup(self) -> "StreamingScanner":
+    def warmup(
+        self, modes: Sequence[str] = ("find", "count", "positions")
+    ) -> "StreamingScanner":
         """Compile every kernel shape the stream will use, WITHOUT a single
-        device->host data readback: two synthetic windows (a full one and a
-        trailing short one) run through the find and count kernels, blocked
-        on device.  Use before timed runs — and on transports where the
-        first data readback permanently degrades bulk transfer bandwidth
-        (see _count_fold64), call this so the stream itself runs at full
-        link speed and reads back once at the end."""
-        shapes = [
-            (b"\x00" * (self.window + self.overlap), False),
-            (
-                b"\x00"
-                * max(min(self.window, 1 << 20), self.overlap + 1),
-                True,
-            ),
-        ]
-        for wbytes, is_last in shapes:
-            dh = self._prep(wbytes, need_cols=False)
-            outs = []
-            for grp in self.batched.groups:
-                ends = self._group_ends(grp, len(wbytes), is_last)
-                if self.mesh is not None:
-                    from ..parallel.shard_scan import (
-                        sharded_count_cols,
-                        sharded_find_cols,
-                    )
+        device->host data readback: one synthetic window at the stream's
+        fixed ``_wcap`` layout (EVERY real window — including the final
+        short one — is padded to that same shape, see ``_prep``) runs
+        through the fused find/count steps, the positions bitmap batches,
+        and — when huge needles exist — their prefix-filter and dense
+        chained-bitmap programs, blocked on device.  Use before timed
+        runs — and on transports where the first data readback permanently
+        degrades bulk transfer bandwidth (see _count_fold64), call this so
+        the stream itself runs at full link speed and reads back once at
+        the end."""
+        bs = self.batched
+        need_cols = "positions" in modes or bool(bs._huge)
+        dh = self._prep(b"\x00" * self._wcap, need_cols=need_cols)
+        wlen = self._wcap
+        outs = []
+        if bs.groups and self.mesh is not None:
+            from ..parallel.shard_scan import (
+                sharded_count_cols,
+                sharded_find_cols,
+            )
 
+            for grp in bs.groups:
+                ends = self._group_ends(grp, wlen, False)
+                if "find" in modes:
                     outs.append(
                         sharded_find_cols(
                             dh, grp.values_dev, grp.masks_dev, ends,
                             self.mesh, assume_homogeneous=True,
                         )
                     )
+                if "count" in modes:
                     outs.append(
                         sharded_count_cols(
                             dh, grp.values_dev, grp.masks_dev, ends,
                             self.mesh, assume_homogeneous=True,
                         )
                     )
-                elif not dh.tiled:
-                    from ..ops import xla_backend
+        elif bs.groups and not dh.tiled:
+            from ..ops import xla_backend
 
-                    outs.append(
-                        xla_backend.find_batched_flat(
-                            dh.flat, grp.values_dev, grp.masks_dev,
-                            jnp.asarray(ends.astype(np.int32)),
-                        )
+            for grp in bs.groups:
+                ends = self._group_ends(grp, wlen, False)
+                outs.append(
+                    xla_backend.find_batched_flat(
+                        dh.flat, grp.values_dev, grp.masks_dev,
+                        jnp.asarray(ends.astype(np.int32)),
                     )
-                else:
-                    kw = dict(s=dh.s, pw=dh.windows())
-                    outs.append(
-                        scan_kernel.batched_find_cols(
-                            None, grp.values_dev, grp.masks_dev,
-                            ends.astype(np.int32), **kw,
-                        )
+                )
+        elif bs.groups:
+            ends = self._window_ends_dev(wlen, False)
+            tables = self._group_tables(ends)
+            if "find" in modes:
+                outs.extend(
+                    self._find_step_fn(dh)(
+                        dh.windows(), bs._order_dev, tables,
+                        jnp.int32(0),
+                        jnp.full((len(bs),), SENTINEL, jnp.int32),
+                        jnp.full((len(bs),), SENTINEL, jnp.int32),
                     )
-                    outs.append(
-                        scan_kernel.batched_count_cols(
-                            None, grp.values_dev, grp.masks_dev,
-                            ends.astype(np.int32), **kw,
-                        )
+                )
+            if "count" in modes:
+                outs.extend(
+                    self._count_step_fn(dh)(
+                        dh.windows(), bs._order_dev, tables,
+                        jnp.zeros((len(bs),), jnp.uint32),
+                        jnp.zeros((len(bs),), jnp.uint32),
                     )
-            for o in outs:
-                jax.block_until_ready(o)
+                )
+            if "positions" in modes:
+                from ..ops import xla_backend
+
+                cols = dh.require_cols()
+                for grp in bs.groups:
+                    e = self._group_ends(grp, wlen, False)[: grp.n]
+                    # The positions loop slices 16-needle batches; compile
+                    # the full-batch shape and the distinct tail shape.
+                    batch = 16
+                    spans = {min(batch, grp.n)}
+                    if grp.n > batch and grp.n % batch:
+                        spans.add(grp.n % batch)
+                    for sp in spans:
+                        outs.append(
+                            xla_backend.match_bitmap_batched(
+                                cols, grp.values_host[:sp],
+                                grp.masks_host[:sp],
+                                np.asarray(e[:sp], np.int32), dh.s,
+                            )
+                        )
+        # Huge needles: compile the per-window device programs their
+        # tiered path dispatches (the prefix-filter count/bitmap and the
+        # dense chained-bitmap verify) so a first huge stream pays no
+        # mid-stream Mosaic compile.  The tier DECISION itself reads one
+        # scalar per window at stream time (inherent to the design).
+        if bs._huge and dh.tiled:
+            from ..models.huge import _prefix_searcher
+            from ..needle import probe_program
+            from ..ops import xla_backend
+
+            for _, hs in bs._huge:
+                ps = _prefix_searcher(hs.needle)
+                outs.append(ps._count_device(dh))
+                pk = hs.needle.size
+                values, masks = probe_program(hs.needle.data)
+                outs.append(
+                    xla_backend.match_bitmap_cols(
+                        dh.require_cols(), values, masks,
+                        dh.length - pk + 1, dh.s,
+                    )
+                )
+                (cnt, first, words), _dh2 = hs._dense(dh)
+                outs.extend((cnt, first, words))
+        for o in outs:
+            jax.block_until_ready(o)
         return self
 
     # -- internals ---------------------------------------------------------
@@ -413,6 +559,110 @@ class StreamingScanner:
         )
         return grp.pad_ends(np.maximum(end_local, 0))
 
+    def _window_ends_dev(self, wlen: int, is_last: bool):
+        """Per-group device ends for one window: the hoisted constants for
+        full non-final windows (the common case — zero uploads), a fresh
+        host->device conversion only for the stream's final window and the
+        rare short-read non-final one."""
+        if not is_last and wlen >= self._wcap:
+            return self._ends_full_dev
+        return tuple(
+            jnp.asarray(self._group_ends(grp, wlen, is_last))
+            for grp in self.batched.groups
+        )
+
+    def _find_step_fn(self, dh):
+        """ONE jit program per window for the tiled single-chip find
+        stream: every group's scan kernel + the input-order scatter + the
+        lexicographic (window, local) device fold — the streaming analogue
+        of the batched ``_sweep_fn`` (models/batched.py).  r4 issued ~8-10
+        dispatches/uploads per window on a ~28 ms-RTT link; this is one."""
+        key = ("find", dh.s, dh.g, dh.kh, dh.length)
+        fn = self._step_cache.get(key)
+        if fn is not None:
+            return fn
+        bs = self.batched
+        n = len(bs)
+        s = dh.s
+        sizes = tuple(g.n for g in bs.groups)
+        flags = tuple(
+            (g.t <= scan_kernel.PROBE_UNROLL, g.last_full, g.n)
+            for g in bs.groups
+        )
+
+        @jax.jit
+        def step(pw, order, tables, w_idx, best_w, best_l):
+            parts = [
+                scan_kernel.batched_find_cols(
+                    None, v, m, e, s=s, pen_full=pf, last_full=lf,
+                    n_real=nr, pw=pw,
+                )
+                for (v, m, e), (pf, lf, nr) in zip(tables, flags)
+            ]
+            merged = jnp.concatenate(
+                [p[:sz] for p, sz in zip(parts, sizes)]
+            )
+            local = (
+                jnp.full((n,), SENTINEL, jnp.int32).at[order].set(merged)
+            )
+            cand_w = jnp.where(
+                local < SENTINEL, w_idx, jnp.int32(SENTINEL)
+            )
+            better = jnp.logical_or(
+                cand_w < best_w,
+                jnp.logical_and(cand_w == best_w, local < best_l),
+            )
+            return (
+                jnp.where(better, cand_w, best_w),
+                jnp.where(better, local, best_l),
+            )
+
+        self._step_cache[key] = step
+        return step
+
+    def _count_step_fn(self, dh):
+        """Fused per-window count step: group count kernels + scatter + the
+        two-limb uint32 fold, one dispatch per window."""
+        key = ("count", dh.s, dh.g, dh.kh, dh.length)
+        fn = self._step_cache.get(key)
+        if fn is not None:
+            return fn
+        bs = self.batched
+        n = len(bs)
+        s = dh.s
+        sizes = tuple(g.n for g in bs.groups)
+        flags = tuple(
+            (g.t <= scan_kernel.PROBE_UNROLL, g.last_full, g.n)
+            for g in bs.groups
+        )
+
+        @jax.jit
+        def step(pw, order, tables, hi, lo):
+            parts = [
+                scan_kernel.batched_count_cols(
+                    None, v, m, e, s=s, pen_full=pf, last_full=lf,
+                    n_real=nr, pw=pw,
+                )
+                for (v, m, e), (pf, lf, nr) in zip(tables, flags)
+            ]
+            merged = jnp.concatenate(
+                [p[:sz] for p, sz in zip(parts, sizes)]
+            )
+            local = jnp.zeros((n,), jnp.int32).at[order].set(merged)
+            c = local.astype(jnp.uint32)
+            lo2 = lo + c
+            carry = (lo2 < c).astype(jnp.uint32)
+            return hi + carry, lo2
+
+        self._step_cache[key] = step
+        return step
+
+    def _group_tables(self, ends):
+        return tuple(
+            (g.values_dev, g.masks_dev, e)
+            for g, e in zip(self.batched.groups, ends)
+        )
+
     def _fold_huge_find(
         self, best, dh, wbytes: bytes, base: int, is_last: bool
     ) -> None:
@@ -434,23 +684,39 @@ class StreamingScanner:
         hi = lo = None
         pending: List = []
         since = 0
-        for dh, wbytes, is_last in self._ingest(windows, need_cols=False):
+        self._reset_stats("count")
+        for dh, wbytes, is_last in self._ingest(
+            self._timed_windows(iter(windows)), need_cols=False
+        ):
+            tw0 = time.perf_counter()
             for i, hs in bs._huge:
                 end_h = self._end_h(hs.size, len(wbytes), is_last)
                 pos = hs.positions(dh)
                 totals[i] += int((pos < end_h).sum())
             if bs.groups:
-                merged = self._count_window(dh, wbytes, is_last)
-                if isinstance(merged, np.ndarray) or self.mesh is not None:
-                    # Host int64 parts, and mesh streams (replicated
-                    # multi-process arrays keep the proven host fold).
-                    pending.append(merged)
-                else:
+                if self.mesh is None and dh.tiled:
+                    # Hot path: one fused dispatch per window (count
+                    # kernels + scatter + two-limb device fold).
+                    t0 = time.perf_counter()
                     if hi is None:
                         hi = jnp.zeros((n,), jnp.uint32)
                         lo = jnp.zeros((n,), jnp.uint32)
-                    hi, lo = _count_fold64(hi, lo, merged)
+                    ends = self._window_ends_dev(len(wbytes), is_last)
+                    hi, lo = self._count_step_fn(dh)(
+                        dh.windows(), bs._order_dev,
+                        self._group_tables(ends), hi, lo,
+                    )
+                    self._stats_add(
+                        "dispatch_s", time.perf_counter() - t0
+                    )
+                else:
+                    merged = self._count_window(dh, wbytes, is_last)
+                    if not isinstance(merged, np.ndarray):
+                        merged = np.asarray(merged)
+                    pending.append(merged)
             since += 1
+            self.stats["windows"] = self.stats.get("windows", 0) + 1
+            self.stats["bytes"] += len(wbytes)
             if since >= self.check_every:
                 since = 0
                 self._fold_counts(totals, pending)
@@ -460,7 +726,12 @@ class StreamingScanner:
                     # in-flight transient buffers and collapses to single-
                     # digit MB/s under allocator backpressure (measured
                     # 6 -> 350 MB/s with this cadence, r4).
+                    t0 = time.perf_counter()
                     jax.block_until_ready(lo)
+                    self._stats_add("drain_s", time.perf_counter() - t0)
+            self.stats["window_ms"].append(
+                1e3 * (time.perf_counter() - tw0)
+            )
         self._fold_counts(totals, pending)
         if hi is not None:
             totals += (np.asarray(hi).astype(np.int64) << 32) + np.asarray(
@@ -542,67 +813,91 @@ class StreamingScanner:
         base = int(base0)
         w_idx = 0
         since_check = 0
+        self._reset_stats("find")
         # windows_only inside _prep: the scan consumes packed windows only,
         # so each window pins ~4 bytes/byte on device instead of ~5.
-        for dh, wbytes, is_last in self._ingest(windows, need_cols=False):
+        for dh, wbytes, is_last in self._ingest(
+            self._timed_windows(iter(windows)), need_cols=False
+        ):
+            tw0 = time.perf_counter()
             self._fold_huge_find(best, dh, wbytes, base, is_last)
             if bs.groups:
-                parts = []
-                blobs = []
-                for grp in bs.groups:
-                    end_local = self._group_ends(grp, len(wbytes), is_last)
-                    if self.mesh is not None:
-                        from ..parallel.shard_scan import sharded_find_cols
-
-                        local = sharded_find_cols(
-                            dh, grp.values_dev, grp.masks_dev,
-                            end_local, self.mesh, assume_homogeneous=True,
-                        )
-                    elif not dh.tiled:
-                        from ..ops import xla_backend
-
-                        local = xla_backend.find_batched_flat(
-                            dh.flat, grp.values_dev, grp.masks_dev,
-                            jnp.asarray(end_local.astype(np.int32)),
-                        )
-                    else:
-                        local = scan_kernel.batched_find_cols(
-                            None,
-                            grp.values_dev,
-                            grp.masks_dev,
-                            end_local.astype(np.int32),
-                            s=dh.s,
-                            pw=dh.windows(),
-                        )
-                    parts.append(local)
-                    blobs.append(grp.indices.tobytes())
-                merged = self._merge_parts(parts, blobs, absent=-1)
-                if isinstance(merged, np.ndarray) or self.mesh is not None:
-                    # Host int64 parts, and mesh streams (replicated
-                    # multi-process arrays keep the proven host fold).
-                    pending.append((base, merged))
-                else:
+                if self.mesh is None and dh.tiled:
+                    # Hot path: ONE fused dispatch per window (kernels +
+                    # scatter + device fold), hoisted full-window ends.
+                    t0 = time.perf_counter()
                     if best_w is None:
                         best_w = jnp.full((n,), SENTINEL, jnp.int32)
                         best_l = jnp.full((n,), SENTINEL, jnp.int32)
-                    best_w, best_l = _first_fold(
-                        best_w, best_l, jnp.int32(w_idx), merged
+                    ends = self._window_ends_dev(len(wbytes), is_last)
+                    best_w, best_l = self._find_step_fn(dh)(
+                        dh.windows(), bs._order_dev,
+                        self._group_tables(ends), jnp.int32(w_idx),
+                        best_w, best_l,
                     )
+                    self._stats_add(
+                        "dispatch_s", time.perf_counter() - t0
+                    )
+                else:
+                    # Mesh streams (replicated multi-process arrays) and
+                    # flat tiny windows keep the proven host fold.
+                    merged = self._window_find_slow(dh, wbytes, is_last)
+                    pending.append((base, merged))
             base += self.window
             w_idx += 1
             since_check += 1
+            self.stats["windows"] = w_idx
+            self.stats["bytes"] += len(wbytes)
             if since_check >= self.check_every:
                 since_check = 0
                 self._fold(best, pending)
                 if best_w is not None:
                     # Drain the device queue (a wait, NOT a readback) —
                     # bounds in-flight window buffers; see _count's note.
+                    t0 = time.perf_counter()
                     jax.block_until_ready(best_w)
+                    self._stats_add("drain_s", time.perf_counter() - t0)
                 if early_stop and self._all_found(best, best_w):
+                    self.stats["window_ms"].append(
+                        1e3 * (time.perf_counter() - tw0)
+                    )
                     break
+            self.stats["window_ms"].append(
+                1e3 * (time.perf_counter() - tw0)
+            )
         self._fold(best, pending)
+        t0 = time.perf_counter()
         self._combine_device_first(best, best_w, best_l, base0)
+        self._stats_add("drain_s", time.perf_counter() - t0)
         return best
+
+    def _window_find_slow(self, dh, wbytes: bytes, is_last: bool):
+        """Per-group find for the mesh and flat-window paths (host fold)."""
+        bs = self.batched
+        parts = []
+        blobs = []
+        for grp in bs.groups:
+            end_local = self._group_ends(grp, len(wbytes), is_last)
+            if self.mesh is not None:
+                from ..parallel.shard_scan import sharded_find_cols
+
+                local = sharded_find_cols(
+                    dh, grp.values_dev, grp.masks_dev,
+                    end_local, self.mesh, assume_homogeneous=True,
+                )
+            else:
+                from ..ops import xla_backend
+
+                local = xla_backend.find_batched_flat(
+                    dh.flat, grp.values_dev, grp.masks_dev,
+                    jnp.asarray(end_local.astype(np.int32)),
+                )
+            parts.append(local)
+            blobs.append(grp.indices.tobytes())
+        merged = self._merge_parts(parts, blobs, absent=-1)
+        if not isinstance(merged, np.ndarray):
+            merged = np.asarray(merged)
+        return merged
 
     def _all_found(self, best: np.ndarray, best_w) -> bool:
         """Early-stop check.  Reads the device accumulator (a small
@@ -638,7 +933,13 @@ class StreamingScanner:
         out: List[List[np.ndarray]] = [[] for _ in range(n)]
         base = int(base0)
         batch = 16  # bitmap memory bound: window/8 bytes per needle
-        for dh, wbytes, is_last in self._ingest(windows, need_cols=True):
+        self._reset_stats("positions")
+        for dh, wbytes, is_last in self._ingest(
+            self._timed_windows(iter(windows)), need_cols=True
+        ):
+            tw0 = time.perf_counter()
+            self.stats["windows"] += 1
+            self.stats["bytes"] += len(wbytes)
             for i, hs in bs._huge:
                 end_h = self._end_h(hs.size, len(wbytes), is_last)
                 pos = hs.positions(dh)
@@ -666,6 +967,9 @@ class StreamingScanner:
                         if pos.size:
                             out[grp.indices[i0 + j]].append(pos + base)
             base += self.window
+            self.stats["window_ms"].append(
+                1e3 * (time.perf_counter() - tw0)
+            )
         return [
             np.concatenate(p) if p else np.empty((0,), np.int64)
             for p in out
