@@ -26,6 +26,8 @@ bigscan:
 
 bench:
 	python bench.py
+	python scripts/update_readme_bench.py
+	python scripts/make_benchmarks_svg.py
 
 bench-competitors:
 	python benchmarks/competitors.py

@@ -8,11 +8,22 @@ needles x haystack_bytes / wall seconds, GB/s per chip.  vs_baseline is the
 ratio against the reference's implied effective throughput
 (4,585 x 857,425 B / 35.181 ms = 111.7 GB/s).
 
+Phase order matters on this transport: the streaming tier runs FIRST, in
+fresh subprocesses, before this process initializes the device — one chip
+serves this host, and a second initialized process inflates wall times
+5-20x (ADVICE r4).  Everything else runs in-process afterwards.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import subprocess
 import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 import numpy as np
 
@@ -25,7 +36,10 @@ def kernel_times(bs, dh, K: int = 32) -> dict:
     program-by-program — the recorded second measurement axis (the
     reference publishes retired-instruction counts next to wall time,
     bench/benches/i386.rs:297-305; on TPU the per-kernel device-time
-    decomposition is the equivalent attribution)."""
+    decomposition is the equivalent attribution).  Measures the kernels in
+    their HOT-PATH configuration (pen_full/last_full/n_real as the fused
+    sweep dispatches them) — r4's table measured the defensive defaults
+    and overstated the count kernels by two mask passes."""
     from sliceslice_tpu.ops import scan_kernel
     from sliceslice_tpu.utils.profiling import measure
 
@@ -42,28 +56,73 @@ def kernel_times(bs, dh, K: int = 32) -> dict:
 
     for g in bs.groups:
         e = g.ends_dev(dh.length)
+        kw = dict(
+            s=dh.s, pw=pw, pen_full=g.t <= scan_kernel.PROBE_UNROLL,
+            last_full=g.last_full, n_real=g.n,
+        )
         rows[f"find[t={g.t},n={g.n}]"] = sustained(
-            lambda g=g, e=e: scan_kernel.batched_find_cols(
-                None, g.values_dev, g.masks_dev, e, s=dh.s, pw=pw
+            lambda g=g, e=e, kw=kw: scan_kernel.batched_find_cols(
+                None, g.values_dev, g.masks_dev, e, **kw
             )
         )
         rows[f"count[t={g.t},n={g.n}]"] = sustained(
-            lambda g=g, e=e: scan_kernel.batched_count_cols(
-                None, g.values_dev, g.masks_dev, e, s=dh.s, pw=pw
+            lambda g=g, e=e, kw=kw: scan_kernel.batched_count_cols(
+                None, g.values_dev, g.masks_dev, e, **kw
             )
         )
     rows["fused_find_sweep"] = sustained(lambda: bs.find_all_device(dh))
+    rows["fused_count_sweep"] = sustained(
+        lambda: bs.count_all_device(dh, _allow_huge=True)
+    )
     return rows
 
 
+def streaming_phase(long_bytes: int = 1 << 30) -> dict:
+    """Run scripts/stream_bench.py while THIS process has not yet touched
+    jax: its fresh child processes own the chip alone (clean link per
+    stream).  Must be called before any jax import here."""
+    # The boot hook may pre-import jax; what must not have happened yet is
+    # backend INITIALIZATION (jax.devices()/first op) — that is what makes
+    # this process contend with the stream children for the chip.
+    try:
+        from jax._src import xla_bridge  # noqa: PLC0415
+
+        assert not xla_bridge._backends, (
+            "streaming phase must run before the parent initializes a "
+            "jax backend"
+        )
+    except ImportError:  # pragma: no cover
+        pass
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts/stream_bench.py"),
+             str(long_bytes)],
+            capture_output=True, text=True, timeout=3000, cwd=REPO,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as e:  # pragma: no cover
+        return {"error": repr(e)}
+
+
 def main():
+    import conformance
+
+    round_no = conformance.next_round()
+
+    # Streaming tier FIRST (fresh subprocesses, see streaming_phase); its
+    # own backend probe makes this a quick no-op off-TPU.
+    streaming = streaming_phase()
+
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
     import sliceslice_tpu as st
 
-    hay = open("data/i386.txt", "rb").read()
-    words = [w for w in open("data/words.txt", "rb").read().split(b"\n") if w]
+    hay = open(os.path.join(REPO, "data/i386.txt"), "rb").read()
+    words = [
+        w for w in open(os.path.join(REPO, "data/words.txt"), "rb")
+        .read().split(b"\n") if w
+    ]
     if not on_tpu:
         # Interpreter fallback (no chip): tiny slice so the line still prints.
         hay = hay[: 64 * 1024]
@@ -126,12 +185,20 @@ def main():
     )
     print(one.summary(), file=sys.stderr)
 
+    def triple(meas, scale=1.0):
+        return [round(1e3 * x * scale, 4)
+                for x in (meas.low, meas.estimate, meas.high)]
+
     detail = {
         "workload": "i386 long sweep, 4585 needles x 857425 B",
+        "phases": {
+            "streaming": "fresh subprocesses, before device init here",
+            "everything_else": "in-process, one chip",
+        },
         "sustained_ms_per_sweep": round(1e3 * m.estimate / K, 4),
+        "sustained_ms_per_sweep_triple": triple(m, 1 / K),
         "sustained_gbps": round(m.gbps("estimate"), 2),
-        "oneshot_ms": [round(1e3 * x, 3) for x in
-                       (one.low, one.estimate, one.high)],
+        "oneshot_ms": triple(one),
     }
     if on_tpu:
         # Secondary: the short-haystack all-pairs sweep (reference: 79.4 ms).
@@ -156,12 +223,32 @@ def main():
         )
         print(short.summary(), file=sys.stderr)
         print(
-            f"  short sweep sustained: {1e3 * short.low / K:.2f} ms/sweep",
+            f"  short sweep sustained: {1e3 * short.low / K:.2f} ms/sweep "
+            f"[{1e3 * short.estimate / K:.2f} est, "
+            f"{1e3 * short.high / K:.2f} high]",
             file=sys.stderr,
         )
+        # Full low/estimate/high per workload (VERDICT r4 item 8 — the
+        # criterion [low est high] convention), not just the low.
         detail["short_sweep_ms"] = round(1e3 * short.low / K, 4)
+        detail["short_sweep_ms_triple"] = triple(short, 1 / K)
         detail["kernels"] = kernel_times(bs, dh, K)
         print(f"per-kernel: {detail['kernels']}", file=sys.stderr)
+
+        # Random needle/haystack size matrix + same-host competitor rows,
+        # recorded per round (VERDICT r4 item 5; reference:
+        # bench/benches/random.rs:12-118 and README.md:28-40).
+        sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+        import competitors
+        import random_matrix
+
+        detail["random_matrix"] = random_matrix.collect()
+        comp = competitors.collect_host()
+        comp["long_tpu_batched_sustained_ms"] = triple(m, 1 / K)
+        comp["long_tpu_oneshot_ms"] = triple(one)
+        comp["short_tpu_pairwise_sustained_ms"] = triple(short, 1 / K)
+        detail["competitors"] = comp
+
         # Best-effort xprof capture of one sweep (per-kernel hardware view
         # in TensorBoard; the measured table above is the recorded metric).
         try:
@@ -171,41 +258,18 @@ def main():
         except Exception as e:  # pragma: no cover
             detail["xprof_logdir"] = f"unavailable: {e!r}"
 
-    if on_tpu:
-        # Streaming tier: sustained GB/s over a real 1 GiB file with
-        # pipelined ingestion and the one-readback device-fold protocol
-        # (VERDICT r3 item 1).  Runs in a FRESH subprocess: this process
-        # has already read results back, and on this transport the first
-        # readback permanently drops bulk transfer bandwidth ~40x
-        # (docs/ROUND4_RESPONSE.md) — an in-process stream would measure
-        # the collapsed link, not the scanner.  Best-effort: a failure
-        # here must not sink the headline run.
-        sys.path.insert(0, "scripts")
-        try:
-            import subprocess
-
-            proc = subprocess.run(
-                [sys.executable, "scripts/stream_bench.py", str(1 << 30)],
-                capture_output=True, text=True, timeout=1500,
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            detail["streaming"] = json.loads(line)
-            print(f"streaming: {detail['streaming']}", file=sys.stderr)
-        except Exception as e:  # pragma: no cover
-            detail["streaming"] = {"error": repr(e)}
-            print(f"streaming bench failed: {e!r}", file=sys.stderr)
+        detail["streaming"] = streaming
+        print(f"streaming: {json.dumps(streaming)[:600]}", file=sys.stderr)
 
         # Per-round conformance artifact (the reference CI runs the FULL
         # i386 corpus on every push, tests/i386.rs:46-70): both sweeps in
         # full against the bytes.find oracle, recorded machine-readably
         # next to the bench number (VERDICT r3 item 2).
-        import conformance
-
-        conf = conformance.run_conformance(full=True)
+        conf = conformance.run_conformance(full=True, round_no=round_no)
         conf_path = conformance.write_artifact(conf)
         print(f"conformance -> {conf_path}: {conf}", file=sys.stderr)
-        detail["round"] = conf["round"]
-        dpath = f"BENCH_DETAIL_r{conf['round']:02d}.json"
+        detail["round"] = round_no
+        dpath = os.path.join(REPO, f"BENCH_DETAIL_r{round_no:02d}.json")
         with open(dpath, "w") as f:
             json.dump(detail, f, indent=1)
             f.write("\n")

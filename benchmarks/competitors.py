@@ -12,14 +12,19 @@ Rows:
 * sliceslice_tpu batched      — the TPU framework, sustained
 * sliceslice_tpu pairwise     — the TPU short-sweep kernel
 
+``collect_host()`` returns the same-host CPU rows structured so bench.py
+can record them per round next to its own measured TPU rows
+(VERDICT r4 item 5 — the reference publishes this table, README.md:28-40).
+
 Usage: python benchmarks/competitors.py  (markdown table to stdout).
 """
 
+import os
 import sys
 import time
 
-
-sys.path.insert(0, ".")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def timed(fn, warmup=1, samples=3):
@@ -37,6 +42,44 @@ def fmt(trip):
     return f"{trip[0]*1e3:.2f} / {trip[1]*1e3:.2f} / {trip[2]*1e3:.2f} ms"
 
 
+def _corpus():
+    hay = open(os.path.join(REPO, "data/i386.txt"), "rb").read()
+    words = [
+        w for w in open(os.path.join(REPO, "data/words.txt"), "rb")
+        .read().split(b"\n") if w
+    ]
+    return hay, words
+
+
+def collect_host(short: bool = True) -> dict:
+    """Same-host CPU competitor rows, each a [low, median, high] ms triple:
+    the long-haystack sweep for bytes.find / SWAR / Two-Way, plus the
+    all-pairs short sweep for SWAR (single sample — it's a full matrix)."""
+    from sliceslice_tpu.utils import native
+
+    hay, words = _corpus()
+    out = {
+        "long_py_bytes_find_ms": [
+            round(x * 1e3, 1)
+            for x in timed(lambda: [hay.find(w) for w in words])
+        ]
+    }
+    if native.available():
+        out["long_native_swar_ms"] = [
+            round(x * 1e3, 1)
+            for x in timed(lambda: native.swar_find_batch(hay, words))
+        ]
+        out["long_native_twoway_ms"] = [
+            round(x * 1e3, 1)
+            for x in timed(lambda: native.twoway_find_batch(hay, words))
+        ]
+        if short:
+            ws = sorted(words, key=len)
+            t = timed(lambda: native.swar_pairwise(ws), warmup=0, samples=1)
+            out["short_native_swar_allpairs_ms"] = round(t[0] * 1e3, 1)
+    return out
+
+
 def main():
     import jax
 
@@ -44,8 +87,7 @@ def main():
     from sliceslice_tpu.ops.pairwise import PairwiseSearcher
     from sliceslice_tpu.utils import native
 
-    hay = open("data/i386.txt", "rb").read()
-    words = [w for w in open("data/words.txt", "rb").read().split(b"\n") if w]
+    hay, words = _corpus()
     ws = sorted(words, key=len)
     on_tpu = jax.default_backend() == "tpu"
 

@@ -7,27 +7,34 @@ latency regime (dispatch + readback dominate a sub-microsecond scan) — the
 batched/pairwise benches are the throughput regime.  Both are reported
 honestly; correctness is asserted against the oracle for every cell.
 
+``collect()`` returns the matrix as structured rows so ``bench.py`` can
+record it per round in BENCH_DETAIL_rNN.json (VERDICT r4 item 5 — the
+reference records this matrix with criterion, bench/benches/random.rs:12-118).
+
 Usage: python benchmarks/random_matrix.py
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 NEEDLE_SIZES = (1, 5, 10, 20, 50, 100, 1000)
 HAY_SIZES = (1, 5, 10, 20, 50, 100, 1000)
 
 
-def main():
+def collect() -> list:
+    """Run every cell; returns rows of
+    {needle, haystack, match, py_us, swar_us, tpu_us} (NaN-free: absent
+    competitors omit their key)."""
     import sliceslice_tpu as st
     from sliceslice_tpu.utils import native
 
-    needle_data = open("data/needle", "rb").read()
-    hay_data = open("data/haystack", "rb").read()
-
-    print("| needle | haystack | match | python find | SWAR | tpu dynamic |")
-    print("|--------|----------|-------|-------------|------|-------------|")
+    needle_data = open(os.path.join(REPO, "data/needle"), "rb").read()
+    hay_data = open(os.path.join(REPO, "data/haystack"), "rb").read()
+    rows = []
     for ks in NEEDLE_SIZES:
         nd = needle_data[:ks]
         searcher = st.DynamicSearcher(nd)
@@ -42,25 +49,40 @@ def main():
                 hay.find(nd)
             t_py = (time.perf_counter() - t0) / 100
 
-            t_sw = float("nan")
+            row = {
+                "needle": ks, "haystack": hs,
+                "py_us": round(t_py * 1e6, 2),
+            }
             if native.available():
                 native.swar_find(hay, nd)
                 t0 = time.perf_counter()
                 for _ in range(100):
                     native.swar_find(hay, nd)
-                t_sw = (time.perf_counter() - t0) / 100
+                row["swar_us"] = round(
+                    (time.perf_counter() - t0) / 100 * 1e6, 2
+                )
 
             got = searcher.find(hay)
             assert got == exp, (ks, hs, got, exp)
+            row["match"] = got is not None
             t0 = time.perf_counter()
             for _ in range(3):
                 searcher.find(hay)
-            t_tpu = (time.perf_counter() - t0) / 3
+            row["tpu_us"] = round((time.perf_counter() - t0) / 3 * 1e6, 0)
+            rows.append(row)
+    return rows
 
-            print(
-                f"| {ks} | {hs} | {got is not None} | {t_py*1e6:.2f} us "
-                f"| {t_sw*1e6:.2f} us | {t_tpu*1e6:.0f} us |"
-            )
+
+def main():
+    rows = collect()
+    print("| needle | haystack | match | python find | SWAR | tpu dynamic |")
+    print("|--------|----------|-------|-------------|------|-------------|")
+    for r in rows:
+        print(
+            f"| {r['needle']} | {r['haystack']} | {r['match']} "
+            f"| {r['py_us']:.2f} us | {r.get('swar_us', float('nan')):.2f} us "
+            f"| {r['tpu_us']:.0f} us |"
+        )
 
 
 if __name__ == "__main__":

@@ -42,8 +42,13 @@ def next_round() -> int:
     return max(rounds) + 1
 
 
-def run_conformance(full: bool = True) -> dict:
-    """Execute both sweeps; returns the artifact dict (does not write)."""
+def run_conformance(full: bool = True, round_no: int | None = None) -> dict:
+    """Execute both sweeps; returns the artifact dict (does not write).
+
+    ``round_no``: the round to label the artifact with.  Callers that also
+    write BENCH artifacts (bench.py) compute it ONCE up front and pass it
+    here — inferring it again later would relabel reruns with the next
+    round number (ADVICE r4)."""
     import jax
 
     import sliceslice_tpu as st
@@ -80,7 +85,7 @@ def run_conformance(full: bool = True) -> dict:
     short_mm = int((got_short != exp_short).sum())
 
     return {
-        "round": next_round(),
+        "round": next_round() if round_no is None else int(round_no),
         "platform": platform,
         "full": bool(full),
         "long_words": len(words),
@@ -104,7 +109,10 @@ def main():
     import jax
 
     full = jax.default_backend() == "tpu" or "--full" in sys.argv
-    result = run_conformance(full=full)
+    round_no = None
+    if "--round" in sys.argv:
+        round_no = int(sys.argv[sys.argv.index("--round") + 1])
+    result = run_conformance(full=full, round_no=round_no)
     path = write_artifact(result)
     print(json.dumps(result))
     print(f"wrote {path}", file=sys.stderr)

@@ -44,22 +44,33 @@ WINDOW = 32 << 20
 
 
 def ensure_corpus(size: int) -> str:
-    if os.path.exists(PATH) and os.path.getsize(PATH) >= size:
+    """Exact-``size`` random file (a stream scans its whole file, so each
+    measured size needs its own); sizes share one master's prefix bytes."""
+    if not (os.path.exists(PATH) and os.path.getsize(PATH) >= size):
+        rng = np.random.default_rng(42)
+        with open(PATH, "wb") as f:
+            left = max(size, 1 << 30)
+            while left:
+                n = min(left, 256 << 20)
+                f.write(rng.bytes(n))
+                left -= n
+    if os.path.getsize(PATH) == size:
         return PATH
-    rng = np.random.default_rng(42)
-    with open(PATH, "wb") as f:
-        left = size
-        while left:
-            n = min(left, 256 << 20)
-            f.write(rng.bytes(n))
-            left -= n
-    return PATH
+    sized = f"/tmp/sliceslice_stream_bench_{size}.bin"
+    if not (os.path.exists(sized) and os.path.getsize(sized) == size):
+        with open(PATH, "rb") as src, open(sized, "wb") as dst:
+            left = size
+            while left:
+                n = min(left, 256 << 20)
+                dst.write(src.read(n))
+                left -= n
+    return sized
 
 
-def draw_needles(size: int):
+def draw_needles(path: str, size: int):
     """48 mixed-length substrings drawn from the corpus + an absent decoy
     (same draw as r4 so rounds compare)."""
-    with open(PATH, "rb") as f:
+    with open(path, "rb") as f:
         head = f.read(4 << 20)
         f.seek(size // 2)
         mid = f.read(1 << 20)
@@ -72,18 +83,36 @@ def draw_needles(size: int):
     ] + [b"\x00absent!" + bytes(8) + b"q" * 9]
 
 
-def link_bandwidth(window: int = WINDOW, reps: int = 6) -> float:
-    """Host->device bandwidth for window-sized uploads (the streaming
-    ingest ceiling of THIS child's clean link; upload-only, no readback)."""
+def link_probes(window: int = WINDOW, reps: int = 4) -> dict:
+    """Two host->device ingest measurements on THIS child's link:
+
+    * ``link_staging_gbps`` — upload + block only.  On transports that
+      stage uploads locally and ship lazily (the axon tunnel), this is
+      the STAGING rate, not the wire (r4 recorded it as the "ceiling",
+      which made the stream look 100x off; it measured a local memcpy).
+    * ``link_wire_mbps`` — upload + a dependent 8-byte readback per rep,
+      which forces the staged bytes over the wire: the TRUE ingest
+      ceiling a stream can sustain."""
+    import jax
     import jax.numpy as jnp
 
     buf = np.random.default_rng(0).integers(0, 255, (window,), dtype=np.uint8)
-    jnp.asarray(buf).block_until_ready()  # warm
+    jnp.asarray(buf).block_until_ready()  # warm/register the buffer
     t0 = time.perf_counter()
     for _ in range(reps):
         jnp.asarray(buf).block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    return window / dt / 1e9
+    staging = window * reps / (time.perf_counter() - t0) / 1e9
+    probe = jax.jit(lambda x: x[:8].astype(jnp.int32).sum())
+    int(np.asarray(probe(jnp.asarray(buf))))  # compile + settle
+    t0 = time.perf_counter()
+    for i in range(reps):
+        buf[:64] = i  # content changes so nothing can be deduplicated
+        int(np.asarray(probe(jnp.asarray(buf))))
+    wire = window * reps / (time.perf_counter() - t0) / 1e6
+    return {
+        "link_staging_gbps": round(staging, 3),
+        "link_wire_mbps": round(wire, 1),
+    }
 
 
 def child(mode: str, size: int) -> dict:
@@ -95,7 +124,8 @@ def child(mode: str, size: int) -> dict:
 
     if jax.default_backend() != "tpu":
         return {"skipped": f"backend={jax.default_backend()}"}
-    needles = draw_needles(size)
+    path = ensure_corpus(size)
+    needles = draw_needles(path, size)
     if mode == "positions":
         needles = needles[:8] + needles[-1:]  # bitmap readback is per needle
     sc = StreamingScanner(needles, window_bytes=WINDOW)
@@ -107,19 +137,19 @@ def child(mode: str, size: int) -> dict:
         "needles": len(needles), "warmup_s": round(warm_s, 1),
     }
     if mode == "find":
-        res["link_h2d_gbps"] = round(link_bandwidth(), 3)
+        res.update(link_probes())
     t0 = time.perf_counter()
     if mode == "find":
-        out = sc.find_in_file(PATH, early_stop=False)
+        out = sc.find_in_file(path, early_stop=False)
         # Spot parity: the drawn needles exist, the decoy does not.
         assert int(out[-1]) == -1
         assert all(int(x) >= 0 for x in out[:-1])
     elif mode == "count":
-        out = sc.count_in_file(PATH)
+        out = sc.count_in_file(path)
         assert int(out[-1]) == 0
         assert all(int(x) >= 1 for x in out[:-1])
     elif mode == "positions":
-        out = sc.positions_in_file(PATH)
+        out = sc.positions_in_file(path)
         assert out[-1].size == 0
         assert all(p.size >= 1 and (np.diff(p) > 0).all() for p in out[:-1])
     else:
@@ -180,12 +210,13 @@ def run(long_bytes: int, fast: bool = False) -> dict:
         res["find_short_best_gbps"] = max(ok_short)
     res["positions_small"] = _spawn("positions", 64 << 20)
     fl = res["find_long"]
-    if "gbps" in fl and fl.get("link_h2d_gbps"):
-        # Fraction of the same-child measured upload ceiling the stream
-        # sustained (1.0 = fully ingest-bound; r4's misnamed
-        # "ingest_bound_fraction").
-        res["link_ceiling_fraction"] = round(
-            fl["gbps"] / fl["link_h2d_gbps"], 3
+    if "gbps" in fl and fl.get("link_wire_mbps"):
+        # Fraction of the same-child measured WIRE ingest ceiling the
+        # stream sustained (1.0 = fully wire-bound; r4's
+        # "ingest_bound_fraction" divided by the staging rate instead and
+        # made a wire-bound stream look 100x off).
+        res["wire_ceiling_fraction"] = round(
+            fl["gbps"] * 1e3 / fl["link_wire_mbps"], 3
         )
     return res
 
@@ -205,9 +236,9 @@ def main():
         print(
             f"stream find : {fl.get('gbps', '?')} GB/s "
             f"({fl.get('wall_s', '?')}s for "
-            f"{fl.get('bytes', 0)/2**30:.1f} GiB; link ceiling "
-            f"{fl.get('link_h2d_gbps', '?')} GB/s -> "
-            f"{100 * res.get('link_ceiling_fraction', 0):.0f}% of it)\n"
+            f"{fl.get('bytes', 0)/2**30:.1f} GiB; wire ceiling "
+            f"{fl.get('link_wire_mbps', '?')} MB/s -> "
+            f"{100 * res.get('wire_ceiling_fraction', 0):.0f}% of it)\n"
             f"stream count: {cl.get('gbps', '?')} GB/s\n"
             f"short finds : best {res.get('find_short_best_gbps', '?')} "
             f"GB/s of {len(res.get('find_short', []))}\n"

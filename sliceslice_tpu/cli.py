@@ -175,12 +175,22 @@ def search_in_file(backend: str, needle: bytes, path: str):
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     mesh_spec = None
+    bad_flag = False
     for i, a in enumerate(list(argv)):
-        if a.startswith("--mesh"):
-            mesh_spec = a.split("=", 1)[1] if "=" in a else argv[i + 1]
-            del argv[i : i + (1 if "=" in a else 2)]
+        # Exact flag match only: "--meshes" must NOT be consumed, and a
+        # bare "--mesh" with no value gets the usage error instead of an
+        # IndexError (ADVICE r4).
+        if a == "--mesh" or a.startswith("--mesh="):
+            if "=" in a:
+                mesh_spec = a.split("=", 1)[1]
+                del argv[i : i + 1]
+            elif i + 1 < len(argv):
+                mesh_spec = argv[i + 1]
+                del argv[i : i + 2]
+            else:
+                bad_flag = True
             break
-    if len(argv) < 3:
+    if bad_flag or len(argv) < 3:
         print(
             "usage: python -m sliceslice_tpu.cli [--mesh DxN] "
             "<backend> <needle> <file>...",

@@ -238,6 +238,7 @@ def preprocess(
     force_cols: bool = False,
     seg_rows: Optional[int] = None,
     windows_only: bool = False,
+    length: Optional[int] = None,
 ) -> DeviceHaystack:
     """Build the device layout for a haystack. O(len) once, amortized over all
     subsequent searches.
@@ -245,23 +246,42 @@ def preprocess(
     ``windows_only``: drop the uint8 byte tiles after deriving the packed
     windows — find/count-only workloads then hold ~4 bytes/corpus-byte on
     device instead of ~5, raising the max on-chip corpus (positions/memchr
-    rebuild tiles lazily from the host copy when ``keep_host``)."""
+    rebuild tiles lazily from the host copy when ``keep_host``).
+
+    ``length``: logical corpus length when ``hay`` is an ndarray LONGER
+    than it — the caller pre-padded the buffer with zeros (streaming's
+    fixed-shape windows).  When the buffer length equals the layout's
+    padded total, the layout uploads it ZERO-COPY (no host repack — the
+    streaming hot path allocates buffers at exactly that size)."""
     if isinstance(hay, np.ndarray):
         if hay.dtype != np.uint8:
             raise TypeError(f"haystack ndarray must be uint8, got {hay.dtype}")
-        data = hay.tobytes()
+        arr = hay
+        data = None
+        length = arr.size if length is None else int(length)
+        if length > arr.size:
+            raise ValueError(
+                f"length={length} exceeds the {arr.size}-byte buffer"
+            )
     else:
         data = bytes(hay)
-    length = len(data)
+        if length is not None and length != len(data):
+            raise ValueError("length only applies to pre-padded ndarrays")
+        length = len(data)
+        arr = np.frombuffer(data, dtype=np.uint8)
     kh = round_up(max(kh, MIN_KH), 32)
-    arr = np.frombuffer(data, dtype=np.uint8)
+
+    def host_copy():
+        if data is not None:
+            return data
+        return arr[:length].tobytes()
 
     if length <= SHORT_HAY_BYTES and not force_cols:
         lp = max(128, next_pow2(length))
-        flat = _pad_flat(jnp.asarray(arr), lp)
+        flat = _pad_flat(jnp.asarray(arr[:length]), lp)
         return DeviceHaystack(
             length=length, kh=kh, s=0, g=0, cols=None, flat=flat,
-            host_bytes=data if keep_host else None,
+            host_bytes=host_copy() if keep_host else None,
         )
 
     if seg_rows is not None:
@@ -278,17 +298,34 @@ def preprocess(
             "a sharded multi-host corpus (parallel/)"
         )
     total = g * s * LANES + kh
-    padded = np.zeros((total,), dtype=np.uint8)
-    padded[:length] = arr
+    if arr.size == total:
+        # Pre-padded buffer at exactly the layout total: upload as-is
+        # (caller guarantees bytes past ``length`` are zero).
+        padded = arr
+    else:
+        padded = np.zeros((total,), dtype=np.uint8)
+        padded[:length] = arr[:length]
     cols = _build_cols(jnp.asarray(padded), g, s, kh)
     dh = DeviceHaystack(
         length=length, kh=kh, s=s, g=g, cols=cols, flat=None,
-        host_bytes=data if keep_host else None,
+        host_bytes=host_copy() if keep_host else None,
     )
     dh.windows()  # eager: part of the preprocess-once cost
     if windows_only:
         dh.drop_cols()
     return dh
+
+
+def padded_total(length: int, kh: int, force_cols: bool = False) -> int:
+    """Host buffer size whose ndarray rides :func:`preprocess`'s zero-copy
+    pre-padded path for a corpus of ``length`` bytes: the tiled layout's
+    ``g*s*LANES + kh`` total (or ``length`` itself for the flat
+    short-haystack path, which never repacks)."""
+    kh_r = round_up(max(kh, MIN_KH), 32)
+    if length <= SHORT_HAY_BYTES and not force_cols:
+        return length
+    s, g = plan_layout(length, kh_r)
+    return g * s * LANES + kh_r
 
 
 def position_grid(s: int) -> np.ndarray:

@@ -840,6 +840,19 @@ def _raw_count_call(
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (cs, LANES), 0)
         lane_mul = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) * s
 
+        # Smallest valid-position bound across this block's REAL rows: any
+        # segment lying entirely below it is CLEAN — every position valid
+        # for every needle — and skips the per-needle validity plane (two
+        # vector passes per (needle, chunk)).  Only the 1-2 segments
+        # straddling an end (corpus tail / streaming window clamp) pay the
+        # masked path.  (r4 applied the mask every segment: count[t=2]
+        # measured ~3x the find kernel's probe chain on the i386 sweep.)
+        end_min = jax.lax.fori_loop(
+            0, cnt,
+            lambda i, m: jnp.minimum(m, end_ref[i, 0]),
+            jnp.int32(0x7FFFFFFF),
+        )
+
         def _scan_segment(gi, carry):
             slot = jax.lax.rem(gi, 2)
 
@@ -863,7 +876,7 @@ def _raw_count_call(
                     w_last = src[slot, pl.ds(off, cs), :]
                 _premask_fill(pm_scr, w_last)
 
-            def _count_one(n):
+            def _count_one(n, apply_end):
                 if unrolled:
                     vals, masked = _probe_row(
                         val_ref, msk_ref, n, t, pen_full, last_full
@@ -873,11 +886,12 @@ def _raw_count_call(
                     cls = _premask_class(msk_ref[n, t - 1])
                     last_eq = pm_scr[cls] == vals[t - 1]
                     masked = ()
-                end_n = end_ref[n, 0]
-                # Per-lane valid-row threshold: pos = lane*s + row +
-                # seg_base < end  <=>  row < thr[lane]; a (1, LANES) plane
-                # instead of a full per-position offset plane.
-                thr = end_n - seg_base - lane_mul
+                if apply_end:
+                    end_n = end_ref[n, 0]
+                    # Per-lane valid-row threshold: pos = lane*s + row +
+                    # seg_base < end  <=>  row < thr[lane]; a (1, LANES)
+                    # plane instead of a full per-position offset plane.
+                    thr = end_n - seg_base - lane_mul
 
                 def chunk_body(ci, lane_counts):
                     row0 = pl.multiple_of(ci * cs, cs)
@@ -891,9 +905,10 @@ def _raw_count_call(
                             pbuf, p4buf, slot, row0, cs,
                             val_ref, msk_ref, n, t,
                         )
-                    valid = jnp.logical_and(acc, row_iota < (thr - row0))
+                    if apply_end:
+                        acc = jnp.logical_and(acc, row_iota < (thr - row0))
                     return lane_counts + jnp.sum(
-                        valid.astype(jnp.int32), axis=0, keepdims=True
+                        acc.astype(jnp.int32), axis=0, keepdims=True
                     )
 
                 init = jnp.zeros((1, LANES), dtype=jnp.int32)
@@ -907,22 +922,34 @@ def _raw_count_call(
                     out_ref[n, :].reshape(1, LANES) + counts
                 ).reshape(LANES)
 
-            # Needle loop unrolled by four (scalar dispatch interleaves
-            # with VPU work, as in the find kernel).
-            def needle_quad(i, c):
-                _count_one(4 * i)
-                _count_one(4 * i + 1)
-                _count_one(4 * i + 2)
-                _count_one(4 * i + 3)
-                return c
+            def needle_loops(apply_end):
+                # Needle loop unrolled by four (scalar dispatch interleaves
+                # with VPU work, as in the find kernel).
+                def needle_quad(i, c):
+                    _count_one(4 * i, apply_end)
+                    _count_one(4 * i + 1, apply_end)
+                    _count_one(4 * i + 2, apply_end)
+                    _count_one(4 * i + 3, apply_end)
+                    return c
 
-            jax.lax.fori_loop(0, cnt // 4, needle_quad, 0)
+                jax.lax.fori_loop(0, cnt // 4, needle_quad, 0)
 
-            def needle_tail(i, c):
-                _count_one(i)
-                return c
+                def needle_tail(i, c):
+                    _count_one(i, apply_end)
+                    return c
 
-            jax.lax.fori_loop((cnt // 4) * 4, cnt, needle_tail, 0)
+                jax.lax.fori_loop((cnt // 4) * 4, cnt, needle_tail, 0)
+
+            clean = seg_base + seg <= end_min
+
+            @pl.when(clean)
+            def _():
+                needle_loops(apply_end=False)
+
+            @pl.when(jnp.logical_not(clean))
+            def _():
+                needle_loops(apply_end=True)
+
             return carry
 
         # Full walk — no early exit (counts need every segment); the final

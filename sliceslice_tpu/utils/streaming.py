@@ -56,45 +56,75 @@ from ..ops.layout import preprocess
 from ..ops.scan_math import SENTINEL
 
 
+class _IngestStopped(Exception):
+    """Raised inside a window source when the stream shut down early
+    (buffer pool drained on purpose); never escapes _ingest."""
+
+
 def _file_windows(
-    path, window: int, overlap: int, start: int = 0
-) -> Iterator[Tuple[bytes, bool]]:
-    """Yield ``(window_bytes, is_last)``.  ``is_last`` must be computed
-    from the file size, NOT from a short read: a window whose remaining
-    bytes fall in (window, window + overlap) short-reads yet is followed
-    by one more window — inferring finality from length would lift the
-    exactly-once clamp there and double-count overlap-region matches."""
+    path, window: int, overlap: int, bufsize: int, start: int = 0,
+    alloc=None,
+) -> Iterator[Tuple[np.ndarray, int, bool]]:
+    """Yield ``(buffer, window_len, is_last)`` — the window's bytes read
+    DIRECTLY into a fresh zero-padded ``bufsize`` buffer (one copy from
+    the page cache; the buffer is layout-total-sized so the device upload
+    is zero-copy, see layout.preprocess ``length``).  ``is_last`` must be
+    computed from the file size, NOT from a short read: a window whose
+    remaining bytes fall in (window, window + overlap) short-reads yet is
+    followed by one more window — inferring finality from length would
+    lift the exactly-once clamp there and double-count overlap-region
+    matches."""
     size = os.path.getsize(path)
+    span = window + overlap
     with open(path, "rb") as f:
         base = start
         while base < size:
             f.seek(base)
-            yield f.read(window + overlap), base + window >= size
+            buf = alloc() if alloc is not None else np.zeros(
+                (bufsize,), np.uint8
+            )
+            want = min(span, size - base)
+            got = int(f.readinto(memoryview(buf)[:want]) or 0)
+            if alloc is not None:
+                buf[got:] = 0  # recycled buffer: clear the stale tail
+            yield buf, got, base + window >= size
             base += window
 
 
 def _chunk_windows(
-    chunks: Iterable[bytes], window: int, overlap: int
-) -> Iterator[Tuple[bytes, bool]]:
+    chunks: Iterable[bytes], window: int, overlap: int, bufsize: int,
+    alloc=None,
+) -> Iterator[Tuple[np.ndarray, int, bool]]:
     """Re-chunk an arbitrary byte-chunk iterator into overlapping windows,
-    yielding ``(window_bytes, is_last)``.  Amortized O(stream) copying:
-    append + in-place front deletion on a bytearray (a bytes buffer would
-    re-copy the whole pending window per chunk — quadratic for small
-    chunks).  Full windows are never final here: the while loop always
-    keeps ``max(overlap, 1)`` trailing bytes behind, so the stream's true
-    end is ALWAYS the final short yield — including ``overlap == 0`` (all
-    needles length <= 1) with a stream length an exact multiple of
-    ``window``, where a ``>=``-with-0 loop would consume the final window
-    and mark it non-final."""
+    yielding ``(buffer, window_len, is_last)`` (fresh zero-padded
+    layout-total buffers, as :func:`_file_windows`).  Amortized O(stream)
+    copying: append + in-place front deletion on a bytearray (a bytes
+    buffer would re-copy the whole pending window per chunk — quadratic
+    for small chunks).  Full windows are never final here: the while loop
+    always keeps ``max(overlap, 1)`` trailing bytes behind, so the
+    stream's true end is ALWAYS the final short yield — including
+    ``overlap == 0`` (all needles length <= 1) with a stream length an
+    exact multiple of ``window``, where a ``>=``-with-0 loop would consume
+    the final window and mark it non-final."""
+
+    def emit(view: bytes | bytearray, wlen: int, is_last: bool):
+        if alloc is not None:
+            out = alloc()
+            out[wlen:] = 0  # recycled buffer: clear the stale tail
+        else:
+            out = np.zeros((bufsize,), np.uint8)
+        out[:wlen] = np.frombuffer(memoryview(view)[:wlen], np.uint8)
+        return out, wlen, is_last
+
     buf = bytearray()
     keep = max(overlap, 1)  # invariant: the final yield carries is_last
     for c in chunks:
         buf += c
         while len(buf) >= window + keep:
-            yield bytes(buf[: window + overlap]), False
+            yield emit(buf, window + overlap, False)
             del buf[:window]
     if buf:
-        yield bytes(buf), True
+        yield emit(buf, len(buf), True)
 
 
 @jax.jit
@@ -207,6 +237,27 @@ class StreamingScanner:
 
             # The huge-needle device filter probes a PREFIX_LEN-byte prefix.
             self._kh = max(self._kh, PREFIX_LEN - 1)
+        from ..ops.layout import SHORT_HAY_BYTES, padded_total
+
+        #: window host buffers are allocated at the layout's padded total,
+        #: so the main-thread device upload is zero-copy (no host repack).
+        self._buf_total = max(
+            padded_total(self._wcap, self._kh, force_cols=mesh is not None),
+            self._wcap,
+        )
+        self._flat_mode = self._wcap <= SHORT_HAY_BYTES and mesh is None
+        #: recycled window host buffers (see _ensure_pool / _ingest).
+        self._pool_q = None
+        if not self._flat_mode and mesh is None:
+            from ..ops.layout import MIN_KH, plan_layout, round_up
+
+            kh_r = round_up(max(self._kh, MIN_KH), 32)
+            s_rows, g_segs = plan_layout(self._wcap, kh_r)
+            #: (s, g, kh) of the fixed window layout — used to build
+            #: DeviceHaystacks directly from pooled device uploads.
+            self._geom = (s_rows, g_segs, kh_r)
+        else:
+            self._geom = None
         # Kernel-group slots: the per-window scatter zero-inits non-group
         # (huge) slots, so find folds must never read them as offset-0 hits.
         self._kernel_slot = np.zeros((len(bs),), dtype=bool)
@@ -231,8 +282,8 @@ class StreamingScanner:
     def _reset_stats(self, mode: str) -> None:
         self.stats = {
             "mode": mode, "windows": 0, "bytes": 0, "read_s": 0.0,
-            "prep_s": 0.0, "dispatch_s": 0.0, "drain_s": 0.0,
-            "window_ms": [],
+            "prep_s": 0.0, "upload_s": 0.0, "dispatch_s": 0.0,
+            "drain_s": 0.0, "window_ms": [],
         }
 
     def _stats_add(self, key: str, dt: float) -> None:
@@ -270,27 +321,51 @@ class StreamingScanner:
 
     # -- window layout ---------------------------------------------------
 
-    def _prep(self, wbytes: bytes, need_cols: bool):
-        """Per-window device layout.  Every window is zero-padded to the
-        fixed ``_wcap`` length first, so the stream compiles exactly ONE
-        kernel shape (see ``_wcap``; per-window ``ends`` clamp validity to
-        the true bytes, so the padding can never produce a counted match).
-        Huge needles keep the window's host bytes (their verify memcmps
-        against them) and byte tiles (their prefix filter is the bitmap
-        op); find/count-only kernel scans keep packed windows only
-        (~4 bytes/byte on device instead of ~5)."""
+    def _prep(self, buf: np.ndarray, need_cols: bool):
+        """Per-window device layout from a pre-padded host buffer (window
+        iterators allocate at the layout total with a zero tail).  Every
+        window presents as the same fixed ``_wcap``-byte corpus, so the
+        stream compiles exactly ONE kernel shape (per-window ``ends``
+        clamp validity to the true bytes, so padding can never produce a
+        counted match), and the upload is zero-copy off this buffer.
+        Runs on the CONSUMER thread: this transport executes bulk uploads
+        ~8x slower when issued from a background thread (measured r5), so
+        the prefetch worker prepares host buffers only.  Huge needles keep
+        the window's host bytes (their verify memcmps against them) and
+        byte tiles (their prefix filter is the bitmap op); find/count-only
+        kernel scans keep packed windows only (~4 bytes/byte on device
+        instead of ~5)."""
         t0 = time.perf_counter()
-        if len(wbytes) < self._wcap:
-            wbytes = wbytes + b"\x00" * (self._wcap - len(wbytes))
+        if isinstance(buf, jax.Array):
+            dh = self._prep_from_device(buf, need_cols)
+            self._stats_add("prep_s", time.perf_counter() - t0)
+            return dh
         huge = bool(self.batched._huge)
         dh = preprocess(
-            wbytes,
+            buf,
             kh=self._kh,
-            keep_host=huge,
+            keep_host=huge or self._flat_mode,
             windows_only=not (huge or need_cols),
             force_cols=self.mesh is not None,
+            length=self._wcap,
         )
         self._stats_add("prep_s", time.perf_counter() - t0)
+        return dh
+
+    def _prep_from_device(self, dev, need_cols: bool):
+        """Layout from an already-uploaded pooled window buffer (the
+        pooled hot tier; geometry fixed per scanner)."""
+        from ..ops.layout import DeviceHaystack, _build_cols
+
+        s_rows, g_segs, kh_r = self._geom
+        cols = _build_cols(dev, g_segs, s_rows, kh_r)
+        dh = DeviceHaystack(
+            length=self._wcap, kh=kh_r, s=s_rows, g=g_segs, cols=cols,
+            flat=None, host_bytes=None,
+        )
+        dh.windows()
+        if not need_cols:
+            dh.drop_cols()
         return dh
 
     def _end_h(self, k: int, wlen: int, is_last: bool) -> int:
@@ -312,7 +387,10 @@ class StreamingScanner:
         file's bytes from ``start_offset`` on; offsets are absolute file
         offsets (scan a tail / resume a partitioned scan)."""
         return self._scan(
-            _file_windows(path, self.window, self.overlap, start_offset),
+            lambda alloc=None: _file_windows(
+                path, self.window, self.overlap, self._buf_total,
+                start_offset, alloc,
+            ),
             early_stop,
             base0=start_offset,
         )
@@ -328,7 +406,9 @@ class StreamingScanner:
         split-stream scans; int64 end to end, so offsets past 2^32 are
         exact through this public path)."""
         return self._scan(
-            _chunk_windows(chunks, self.window, self.overlap),
+            lambda alloc=None: _chunk_windows(
+                chunks, self.window, self.overlap, self._buf_total, alloc
+            ),
             early_stop,
             base0=start_offset,
         )
@@ -338,11 +418,18 @@ class StreamingScanner:
         exact past 2 GiB (per-window int32 device counts, int64 host sum).
         No early stop exists to use (counts need the full stream)."""
         return self._count(
-            _file_windows(path, self.window, self.overlap, start_offset)
+            lambda alloc=None: _file_windows(
+                path, self.window, self.overlap, self._buf_total,
+                start_offset, alloc,
+            )
         )
 
     def count_in_chunks(self, chunks: Iterable[bytes]) -> np.ndarray:
-        return self._count(_chunk_windows(chunks, self.window, self.overlap))
+        return self._count(
+            lambda alloc=None: _chunk_windows(
+                chunks, self.window, self.overlap, self._buf_total, alloc
+            )
+        )
 
     def positions_in_file(self, path, start_offset: int = 0) -> list:
         """ALL (overlapping) match offsets per needle (int64[M] ascending,
@@ -350,7 +437,10 @@ class StreamingScanner:
         packed match bitmaps (window/8 bytes per needle), decoded on host
         with the window's int64 base, so offsets past 2 GiB are exact."""
         return self._positions(
-            _file_windows(path, self.window, self.overlap, start_offset),
+            lambda alloc=None: _file_windows(
+                path, self.window, self.overlap, self._buf_total,
+                start_offset, alloc,
+            ),
             base0=start_offset,
         )
 
@@ -358,7 +448,9 @@ class StreamingScanner:
         self, chunks: Iterable[bytes], start_offset: int = 0
     ) -> list:
         return self._positions(
-            _chunk_windows(chunks, self.window, self.overlap),
+            lambda alloc=None: _chunk_windows(
+                chunks, self.window, self.overlap, self._buf_total, alloc
+            ),
             base0=start_offset,
         )
 
@@ -378,7 +470,33 @@ class StreamingScanner:
         the end."""
         bs = self.batched
         need_cols = "positions" in modes or bool(bs._huge)
-        dh = self._prep(b"\x00" * self._wcap, need_cols=need_cols)
+        # Transport sync FIRST: some remote-device transports stage
+        # uploads locally and ship them only when a readback forces a
+        # flush — and the process's FIRST flush runs pathologically slower
+        # than steady state (measured r5 on the axon tunnel: first flush
+        # ~0.2-1 MB/s vs ~8-40 MB/s after).  Forcing that first flush NOW,
+        # on 32 bytes, costs one round trip here instead of minutes inside
+        # the first timed stream.  (On direct-attached devices this is a
+        # sub-ms no-op.)
+        np.asarray(jnp.zeros((8,), jnp.int32) + 1)
+        if self.mesh is None and not self._flat_mode and not bs._huge:
+            # Register every pool buffer with the transport now: the FIRST
+            # upload of a host buffer identity is ~8-60x slower than
+            # re-uploads (measured r5) — the stream recycles exactly these
+            # buffers, so after this loop every window rides the fast path.
+            free_q = self._ensure_pool()
+            held = []
+            try:
+                while True:
+                    held.append(free_q.get_nowait())
+            except Exception:
+                pass
+            for b in held:
+                jax.block_until_ready(jnp.asarray(b))
+                free_q.put(b)
+        dh = self._prep(
+            np.zeros((self._buf_total,), np.uint8), need_cols=need_cols
+        )
         wlen = self._wcap
         outs = []
         if bs.groups and self.mesh is not None:
@@ -483,70 +601,150 @@ class StreamingScanner:
 
     # -- internals ---------------------------------------------------------
 
-    def _ingest(self, windows: Iterator[Tuple[bytes, bool]], need_cols: bool):
-        """Yield ``(dh, wbytes, is_last)`` in stream order, PIPELINED: the
-        next window's file read, host pad, and device upload run on a
-        background thread while the current window's scans dispatch — the
-        streamed analogue of the reference's load-ahead register loop
-        (src/lib.rs:263-274) at window grain.  The scan dispatches are
-        already async, so with ingestion off the critical path the stream
-        sustains ~max(ingest rate, scan rate) instead of their sum.
-        ``prefetch == 0`` degrades to the serial loop (no thread)."""
-        if self.prefetch == 0:
-            for wbytes, is_last in windows:
-                yield self._prep(wbytes, need_cols), wbytes, is_last
-            return
+    def _ingest(self, factory, need_cols: bool):
+        """Yield ``(dh, window_len, is_last)`` in stream order from a
+        window-source factory (``factory(alloc) -> iterator of
+        (buf, wlen, is_last)``), PIPELINED: the next window's file read
+        and zero-padded host buffer are prepared on a background thread
+        while the current window's upload and scans dispatch from THIS
+        thread — the streamed analogue of the reference's load-ahead
+        register loop (src/lib.rs:263-274) at window grain.
+
+        Two transport pathologies shape this loop (both measured r5 on
+        the axon tunnel): bulk uploads issued from a background thread
+        run ~8x slower (0.19 vs 1.5 GB/s), so the worker touches NO
+        device; and uploads of NEVER-SEEN host buffers run ~8-60x slower
+        than re-uploads of known ones, so the hot tier recycles a small
+        POOL of pre-registered buffers — each window's ``device_put`` is
+        blocked one window later (a 1-deep upload pipeline) before its
+        buffer returns to the pool, which also strictly bounds in-flight
+        transfers.  ``prefetch == 0`` degrades to a serial loop (no
+        thread), keeping the same pooling."""
         import queue
-        import threading
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        use_pool = (
+            self.mesh is None
+            and not self._flat_mode
+            and not self.batched._huge
+        )
         stop = threading.Event()
-        sentinel = object()
-        failure: List[BaseException] = []
+        if use_pool:
+            free_q = self._ensure_pool()
 
-        def worker():
-            try:
-                for wbytes, is_last in windows:
+            def alloc():
+                while True:
                     if stop.is_set():
-                        return
-                    item = (self._prep(wbytes, need_cols), wbytes, is_last)
+                        raise _IngestStopped()
+                    try:
+                        return free_q.get(timeout=0.05)
+                    except queue.Empty:
+                        continue
+
+            windows = self._timed_windows(iter(factory(alloc)))
+        else:
+            windows = self._timed_windows(iter(factory(None)))
+        pending: List = []  # (DeviceHaystack, host_buf) awaiting recycle
+
+        def _retire(entry):
+            """A buffer is safe to mutate only once NOTHING will read it
+            again: block the window's derived packed windows (cols for
+            positions streams) — their materialization ends all reads of
+            the source buffer.  (Blocking just the device_put is NOT
+            enough on backends where it aliases the host buffer
+            zero-copy, e.g. CPU.)"""
+            odh, ob = entry
+            jax.block_until_ready(
+                odh.pw if odh.pw is not None else odh.require_cols()
+            )
+            free_q.put(ob)
+
+        def make_dh(buf):
+            """Main-thread device_put + one-window-delayed pool recycle."""
+            if not use_pool:
+                return self._prep(buf, need_cols)
+            t0 = time.perf_counter()
+            dh = self._prep(jnp.asarray(buf), need_cols)
+            pending.append((dh, buf))
+            if len(pending) > 1:
+                _retire(pending.pop(0))
+            self._stats_add("upload_s", time.perf_counter() - t0)
+            return dh
+
+        try:
+            if self.prefetch == 0:
+                for buf, wlen, is_last in windows:
+                    yield make_dh(buf), wlen, is_last
+                return
+            q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+            sentinel = object()
+            failure: List[BaseException] = []
+
+            def worker():
+                try:
+                    for item in windows:  # (buf, wlen, is_last) — host only
+                        if stop.is_set():
+                            return
+                        while not stop.is_set():
+                            try:
+                                q.put(item, timeout=0.05)
+                                break
+                            except queue.Full:
+                                continue
+                except _IngestStopped:
+                    return
+                except BaseException as e:  # surfaced on the consumer side
+                    failure.append(e)
+                finally:
                     while not stop.is_set():
                         try:
-                            q.put(item, timeout=0.05)
+                            q.put(sentinel, timeout=0.05)
                             break
                         except queue.Full:
                             continue
-            except BaseException as e:  # surfaced on the consumer side
-                failure.append(e)
-            finally:
-                while not stop.is_set():
-                    try:
-                        q.put(sentinel, timeout=0.05)
-                        break
-                    except queue.Full:
-                        continue
 
-        t = threading.Thread(
-            target=worker, name="sliceslice-ingest", daemon=True
-        )
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is sentinel:
-                    if failure:
-                        raise failure[0]
-                    return
-                yield item
+            t = threading.Thread(
+                target=worker, name="sliceslice-ingest", daemon=True
+            )
+            t.start()
+            try:
+                while True:
+                    item = q.get()
+                    if item is sentinel:
+                        if failure:
+                            raise failure[0]
+                        return
+                    buf, wlen, is_last = item
+                    yield make_dh(buf), wlen, is_last
+            finally:
+                # Early stop (or consumer error): unblock + retire worker.
+                stop.set()
+                while True:
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        break
+                t.join(timeout=5.0)
         finally:
-            # Early stop (or consumer error): unblock and retire the worker.
             stop.set()
-            while True:
+            for entry in pending:
                 try:
-                    q.get_nowait()
-                except queue.Empty:
-                    break
-            t.join(timeout=5.0)
+                    _retire(entry)
+                except Exception:
+                    free_q.put(entry[1])
+            pending.clear()
+
+    def _ensure_pool(self):
+        """Lazy pool of recycled window host buffers (pre-registered with
+        the transport by :meth:`warmup`); sized so the worker, the queue,
+        and the consumer's 1-deep upload pipeline never starve."""
+        if self._pool_q is None:
+            import queue
+
+            q: "queue.Queue" = queue.Queue()
+            for _ in range(max(self.prefetch, 1) + 2):
+                q.put(np.zeros((self._buf_total,), np.uint8))
+            self._pool_q = q
+        return self._pool_q
 
     def _group_ends(self, grp, wlen: int, is_last: bool) -> np.ndarray:
         """Window-local valid-position bounds for one width group: count
@@ -664,13 +862,13 @@ class StreamingScanner:
         )
 
     def _fold_huge_find(
-        self, best, dh, wbytes: bytes, base: int, is_last: bool
+        self, best, dh, wlen: int, base: int, is_last: bool
     ) -> None:
         for i, hs in self.batched._huge:
             if best[i] >= 0:
                 continue
             p = hs.find(dh)
-            if p is not None and p < self._end_h(hs.size, len(wbytes), is_last):
+            if p is not None and p < self._end_h(hs.size, wlen, is_last):
                 best[i] = base + p
 
     def _count(self, windows: Iterator[bytes]) -> np.ndarray:
@@ -685,12 +883,10 @@ class StreamingScanner:
         pending: List = []
         since = 0
         self._reset_stats("count")
-        for dh, wbytes, is_last in self._ingest(
-            self._timed_windows(iter(windows)), need_cols=False
-        ):
+        for dh, wlen, is_last in self._ingest(windows, need_cols=False):
             tw0 = time.perf_counter()
             for i, hs in bs._huge:
-                end_h = self._end_h(hs.size, len(wbytes), is_last)
+                end_h = self._end_h(hs.size, wlen, is_last)
                 pos = hs.positions(dh)
                 totals[i] += int((pos < end_h).sum())
             if bs.groups:
@@ -701,7 +897,7 @@ class StreamingScanner:
                     if hi is None:
                         hi = jnp.zeros((n,), jnp.uint32)
                         lo = jnp.zeros((n,), jnp.uint32)
-                    ends = self._window_ends_dev(len(wbytes), is_last)
+                    ends = self._window_ends_dev(wlen, is_last)
                     hi, lo = self._count_step_fn(dh)(
                         dh.windows(), bs._order_dev,
                         self._group_tables(ends), hi, lo,
@@ -710,13 +906,13 @@ class StreamingScanner:
                         "dispatch_s", time.perf_counter() - t0
                     )
                 else:
-                    merged = self._count_window(dh, wbytes, is_last)
+                    merged = self._count_window(dh, wlen, is_last)
                     if not isinstance(merged, np.ndarray):
                         merged = np.asarray(merged)
                     pending.append(merged)
             since += 1
             self.stats["windows"] = self.stats.get("windows", 0) + 1
-            self.stats["bytes"] += len(wbytes)
+            self.stats["bytes"] += wlen
             if since >= self.check_every:
                 since = 0
                 self._fold_counts(totals, pending)
@@ -739,12 +935,14 @@ class StreamingScanner:
             ).astype(np.int64)
         return totals
 
-    def _count_window(self, dh, wbytes: bytes, is_last: bool):
+    def _count_window(self, dh, wlen: int, is_last: bool):
+        """Mesh and flat-window count (the tiled single-chip path rides
+        the fused ``_count_step_fn`` instead)."""
         bs = self.batched
         parts = []
         blobs = []
         for grp in bs.groups:
-            end_local = self._group_ends(grp, len(wbytes), is_last)
+            end_local = self._group_ends(grp, wlen, is_last)
             if self.mesh is not None:
                 from ..parallel.shard_scan import sharded_count_cols
 
@@ -752,10 +950,10 @@ class StreamingScanner:
                     dh, grp.values_dev, grp.masks_dev,
                     end_local, self.mesh, assume_homogeneous=True,
                 )
-            elif not dh.tiled:
+            else:
                 local = jnp.asarray(
                     [
-                        _host_count_limited(wbytes, nd, int(e))
+                        _host_count_limited(dh.host_bytes, nd, int(e))
                         for nd, e in zip(
                             [bs.needles[i] for i in grp.indices],
                             end_local,
@@ -763,15 +961,6 @@ class StreamingScanner:
                     ]
                     + [0] * (grp.n_pad - grp.n),
                     jnp.int32,
-                )
-            else:
-                local = scan_kernel.batched_count_cols(
-                    None,
-                    grp.values_dev,
-                    grp.masks_dev,
-                    end_local.astype(np.int32),
-                    s=dh.s,
-                    pw=dh.windows(),
                 )
             parts.append(local)
             blobs.append(grp.indices.tobytes())
@@ -816,11 +1005,9 @@ class StreamingScanner:
         self._reset_stats("find")
         # windows_only inside _prep: the scan consumes packed windows only,
         # so each window pins ~4 bytes/byte on device instead of ~5.
-        for dh, wbytes, is_last in self._ingest(
-            self._timed_windows(iter(windows)), need_cols=False
-        ):
+        for dh, wlen, is_last in self._ingest(windows, need_cols=False):
             tw0 = time.perf_counter()
-            self._fold_huge_find(best, dh, wbytes, base, is_last)
+            self._fold_huge_find(best, dh, wlen, base, is_last)
             if bs.groups:
                 if self.mesh is None and dh.tiled:
                     # Hot path: ONE fused dispatch per window (kernels +
@@ -829,7 +1016,7 @@ class StreamingScanner:
                     if best_w is None:
                         best_w = jnp.full((n,), SENTINEL, jnp.int32)
                         best_l = jnp.full((n,), SENTINEL, jnp.int32)
-                    ends = self._window_ends_dev(len(wbytes), is_last)
+                    ends = self._window_ends_dev(wlen, is_last)
                     best_w, best_l = self._find_step_fn(dh)(
                         dh.windows(), bs._order_dev,
                         self._group_tables(ends), jnp.int32(w_idx),
@@ -841,13 +1028,13 @@ class StreamingScanner:
                 else:
                     # Mesh streams (replicated multi-process arrays) and
                     # flat tiny windows keep the proven host fold.
-                    merged = self._window_find_slow(dh, wbytes, is_last)
+                    merged = self._window_find_slow(dh, wlen, is_last)
                     pending.append((base, merged))
             base += self.window
             w_idx += 1
             since_check += 1
             self.stats["windows"] = w_idx
-            self.stats["bytes"] += len(wbytes)
+            self.stats["bytes"] += wlen
             if since_check >= self.check_every:
                 since_check = 0
                 self._fold(best, pending)
@@ -871,13 +1058,13 @@ class StreamingScanner:
         self._stats_add("drain_s", time.perf_counter() - t0)
         return best
 
-    def _window_find_slow(self, dh, wbytes: bytes, is_last: bool):
+    def _window_find_slow(self, dh, wlen: int, is_last: bool):
         """Per-group find for the mesh and flat-window paths (host fold)."""
         bs = self.batched
         parts = []
         blobs = []
         for grp in bs.groups:
-            end_local = self._group_ends(grp, len(wbytes), is_last)
+            end_local = self._group_ends(grp, wlen, is_last)
             if self.mesh is not None:
                 from ..parallel.shard_scan import sharded_find_cols
 
@@ -934,24 +1121,22 @@ class StreamingScanner:
         base = int(base0)
         batch = 16  # bitmap memory bound: window/8 bytes per needle
         self._reset_stats("positions")
-        for dh, wbytes, is_last in self._ingest(
-            self._timed_windows(iter(windows)), need_cols=True
-        ):
+        for dh, wlen, is_last in self._ingest(windows, need_cols=True):
             tw0 = time.perf_counter()
             self.stats["windows"] += 1
-            self.stats["bytes"] += len(wbytes)
+            self.stats["bytes"] += wlen
             for i, hs in bs._huge:
-                end_h = self._end_h(hs.size, len(wbytes), is_last)
+                end_h = self._end_h(hs.size, wlen, is_last)
                 pos = hs.positions(dh)
                 pos = pos[pos < end_h]
                 if pos.size:
                     out[i].append(pos + base)
             for grp in bs.groups:
-                ends = self._group_ends(grp, len(wbytes), is_last)[: grp.n]
+                ends = self._group_ends(grp, wlen, is_last)[: grp.n]
                 if not dh.tiled:
                     for j, gi in enumerate(grp.indices):
                         pos = _host_positions_limited(
-                            wbytes, bs.needles[gi], int(ends[j])
+                            dh.host_bytes, bs.needles[gi], int(ends[j])
                         )
                         if pos.size:
                             out[gi].append(pos + base)

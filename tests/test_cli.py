@@ -163,3 +163,18 @@ def test_cli_sharded_bad_mesh(tmp_path):
 
     with pytest.raises(SystemExit, match="invalid mesh"):
         main(["--mesh", "nope", "sharded", "abc", str(p)])
+
+
+def test_cli_mesh_flag_edge_cases(tmp_path, capsys):
+    """--mesh parses only as the exact flag: an unknown --meshes flag is
+    NOT silently consumed (it lands in the backend slot and errors), and a
+    trailing bare --mesh yields the usage message instead of an
+    IndexError (ADVICE r4)."""
+    import pytest
+
+    p = tmp_path / "h.txt"
+    p.write_bytes(b"hello world")
+    with pytest.raises(SystemExit, match="unknown backend"):
+        main(["--meshes", "2x4", "dynamic", "hello", str(p)])
+    assert main(["dynamic", "hello", str(p), "--mesh"]) == 2
+    assert "usage:" in capsys.readouterr().err

@@ -83,3 +83,48 @@ def test_count_in_pallas_vs_batched(rng):
     batched = BatchedSearcher(nds).count_all(dh)
     for nd, c in zip(nds, batched):
         assert PallasSearcher(nd).count_in(dh) == c == oracle_count(hay, nd)
+
+
+def test_count_clean_vs_boundary_segments(rng):
+    """The count kernel's clean-segment fast path (no per-needle validity
+    plane on segments entirely below every end) must agree with the masked
+    path everywhere: ends at segment boundaries, mid-segment, and
+    caller-clamped far below the corpus end (the streaming window clamp),
+    with matches planted on both sides of each end."""
+    from sliceslice_tpu.ops import scan_kernel
+    from sliceslice_tpu.needle import build_probe_table
+
+    hay = bytearray(rng.integers(97, 100, (80_000,), dtype=np.uint8))
+    nd = b"abcab"
+    # Plant matches: early, straddling seg boundaries, and near the tail.
+    dh0 = preprocess(bytes(hay), force_cols=True, seg_rows=64)
+    seg = dh0.seg_bytes
+    spots = [3, seg - 2, seg + 10, 2 * seg - 3, len(hay) - len(nd),
+             seg // 2, 3 * seg + 7]
+    for p in spots:
+        hay[p : p + len(nd)] = nd
+    hay = bytes(hay)
+    dh = preprocess(hay, force_cols=True, seg_rows=64)
+    vals, msks, lens = build_probe_table([nd, nd, b"bca"])
+    for end in (
+        dh.length - len(nd) + 1,          # true end (last segment boundary)
+        seg,                              # exactly one clean segment
+        seg + 1, 2 * seg - 1,             # mid-corpus cuts
+        5, 0,                             # clamp inside segment 0 / nothing
+    ):
+        ends = np.minimum(
+            np.maximum(dh.length - lens + 1, 0), end
+        ).astype(np.int32)
+        got = np.asarray(
+            scan_kernel.batched_count_cols(
+                None, vals, msks, ends, s=dh.s, pw=dh.windows()
+            )
+        )
+        exp = []
+        for needle, e in zip((nd, nd, b"bca"), ends):
+            c, p = 0, hay.find(needle)
+            while 0 <= p < e:
+                c += 1
+                p = hay.find(needle, p + 1)
+            exp.append(c)
+        assert list(got) == exp, (end, list(got), exp)

@@ -327,3 +327,44 @@ def test_placed_corpus_cache_alternate_drop_purge(corpus):
     keys_alive = [k for k, v in sb._placed_corpus.items() if v[0]() is not None]
     assert len(keys_alive) == len(sb._placed_corpus) == 2  # a + c, b purged
     assert (sb.find_all(dh_a) == exp_a).all()
+
+
+def test_sharded_huge_dense_local_layout_cached(corpus, monkeypatch):
+    """A repeated dense-tier huge-needle query over the same GlobalCorpus
+    must issue NO corpus re-layout/upload: the process-local byte range is
+    preprocessed once and memoized (VERDICT r4 item 6)."""
+    from sliceslice_tpu.needle import MAX_NEEDLE_LEN
+    from sliceslice_tpu.ops import layout as layout_mod
+    from sliceslice_tpu.parallel.distributed import (
+        assemble_global_corpus,
+        global_mesh,
+    )
+    from sliceslice_tpu.searcher import overlapping_count
+
+    # Period-1 adversarial content: every position passes the prefix
+    # filter, forcing the dense tier on every process.
+    k = MAX_NEEDLE_LEN + 2
+    nd = b"a" * k
+    hay = b"a" * 60_000 + b"b" + b"a" * 9_000
+    mesh = global_mesh()
+    s = 96
+    seg = s * 128
+    g = -(-(-(-len(hay) // seg)) // 8) * 8
+    gc = assemble_global_corpus(hay, b"", len(hay), s, 64, mesh, g_local=g)
+    sb = ShardedBatchedSearcher([nd], mesh)
+
+    calls = []
+    real = layout_mod.preprocess
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(layout_mod, "preprocess", counting)
+    exp = overlapping_count(hay, nd)
+    assert int(sb.count_all(gc)[0]) == exp
+    first = len(calls)
+    assert first >= 1  # the dense tier laid out the local range once
+    assert int(sb.count_all(gc)[0]) == exp
+    assert int(sb.find_all(gc)[0]) == hay.find(nd)
+    assert len(calls) == first, "repeated dense query re-laid out the corpus"
