@@ -75,6 +75,11 @@ def protocol(name, words, hay, piggyback: bool):
 def main():
     words = open("data/words.txt", "rb").read().splitlines()
     hay = open("data/i386.txt", "rb").read()
+    # First cold run pays the one-time XLA compile of the device
+    # scheduler program (r5: the cold path is sweep -> device argsort ->
+    # device permute, zero readbacks); the second shows the steady cost a
+    # serving process actually pays.
+    protocol("cold, first (incl. scheduler compile)", words, hay, False)
     protocol("cold: optimize_for(dh), one measuring sweep", words, hay, False)
     protocol("piggyback: optimize_for(dh, firsts)", words, hay, True)
 

@@ -85,6 +85,24 @@ class _Group:
         self.values_dev = jnp.asarray(np.pad(vals, rowpad), jnp.uint32)
         self.masks_dev = jnp.asarray(np.pad(msks, rowpad), jnp.uint32)
         self._ends_cache: dict[int, jnp.ndarray] = {}
+        #: device row permutation not yet applied to the HOST copies — set
+        #: by the device-side optimizer (zero-readback reschedule); host
+        #: readers call :meth:`sync_host` first (one tiny readback, lazy).
+        self._host_perm_pending = None
+
+    def sync_host(self) -> None:
+        """Materialize a pending device-side row permutation into the host
+        copies (indices/lengths/values/masks).  The readback is a single
+        int32[n] vector — deferred until a host consumer (positions paths,
+        a host reorder, a new ends length) actually needs row order."""
+        if self._host_perm_pending is None:
+            return
+        perm = np.asarray(self._host_perm_pending)[: self.n]
+        self._host_perm_pending = None
+        self.indices = self.indices[perm]
+        self.lengths = self.lengths[perm]
+        self.values_host = self.values_host[perm]
+        self.masks_host = self.masks_host[perm]
 
     #: retained per-haystack-length device ends (FIFO-evicted; a serving
     #: loop over many distinct corpus lengths must not grow unboundedly).
@@ -102,6 +120,7 @@ class _Group:
         scheduling, see BatchedSearcher.optimize_for).  The scatter maps
         results back through ``indices``, so row order is free to change;
         padded table rows stay at the end untouched."""
+        self.sync_host()
         perm = np.argsort(key, kind="stable")
         self.indices = self.indices[perm]
         self.lengths = self.lengths[perm]
@@ -123,6 +142,11 @@ class _Group:
     def ends_dev(self, hay_len: int) -> jnp.ndarray:
         e = self._ends_cache.get(hay_len)
         if e is None:
+            # Cache miss builds from host lengths — materialize any
+            # pending device permutation first so row order matches the
+            # (device-permuted) tables.  Cached entries are permuted
+            # device-side by the optimizer and never hit this.
+            self.sync_host()
             e = jnp.asarray(
                 self.pad_ends(np.maximum(hay_len - self.lengths + 1, 0)),
                 jnp.int32,
@@ -198,6 +222,8 @@ class BatchedSearcher:
         as a kernel OPERAND (not a baked constant) so optimize_for's row
         permutation is a device_put, not a recompile of every sweep
         program."""
+        for g in self.groups:
+            g.sync_host()
         idx = [g.indices for g in self.groups]
         self._order_dev = jnp.asarray(
             np.concatenate(idx).astype(np.int32)
@@ -414,12 +440,48 @@ class BatchedSearcher:
         ``firsts``: offsets from a prior :meth:`find_all` over a similar
         corpus (-1 absent).  A serving loop is already producing these, so
         passing them makes the reschedule a pure host-permute + device
-        upload — no measuring sweep, breaking even within a handful of
-        sweeps; omitted, ONE measuring sweep runs here.  Returns self."""
+        upload — no measuring sweep.  Omitted, the COLD path runs one
+        measuring sweep and stays on device end to end: sweep output ->
+        device argsort -> device permute of tables/ends/scatter-order —
+        zero readbacks, zero uploads (r4's cold N* was dominated by one
+        ~28 ms readback; host table copies sync lazily on demand).
+        Returns self."""
         if firsts is None:
+            dh = self._layout(hay)
+            if dh.tiled and not self._huge and self.groups:
+                self._apply_schedule_device(self.find_all_device(dh))
+                return self
             firsts = self.find_all(hay)
         self._apply_schedule(np.asarray(firsts))
         return self
+
+    def _apply_schedule_device(self, firsts) -> None:
+        """Device-side reschedule from a device-resident measuring sweep
+        (int32[N] firsts, SENTINEL absent — absent rows sort last, same
+        order as the host path's int64-max mapping)."""
+        sizes = self._order_sizes
+        n_pads = tuple(g.n_pad for g in self.groups)
+        ends_keys = tuple(tuple(g._ends_cache.keys()) for g in self.groups)
+        flat = []
+        for g in self.groups:
+            flat.append(g.values_dev)
+            flat.append(g.masks_dev)
+            flat.extend(g._ends_cache.values())
+        new_order, outs = _device_schedule_jit(
+            sizes, n_pads, tuple(len(k) for k in ends_keys)
+        )(firsts, self._order_dev, *flat)
+        for g, keys, (v2, m2, e2, p) in zip(self.groups, ends_keys, outs):
+            g.values_dev = v2
+            g.masks_dev = m2
+            g._ends_cache = dict(zip(keys, e2))
+            # Compose with any earlier un-synced device permutation:
+            # host rows A, device rows A[p1][p2] = A[p1[p2]].
+            g._host_perm_pending = (
+                p if g._host_perm_pending is None
+                else g._host_perm_pending[p]
+            )
+        self._order_dev = new_order
+        self._epoch += 1
 
     def _apply_schedule(self, firsts: np.ndarray) -> None:
         """Apply a measured first-offset schedule: reorder group rows and
@@ -431,6 +493,7 @@ class BatchedSearcher:
         optimizers (each supplies its own measuring sweep)."""
         key = np.where(firsts < 0, np.iinfo(np.int64).max, firsts)
         for g in self.groups:
+            g.sync_host()  # indices must be current before keying
             g.reorder(key[g.indices])
         self._rebuild_order()
         self._epoch += 1
@@ -460,6 +523,7 @@ class BatchedSearcher:
         # the next batch's scan here — so the loop stays simple.)
         cols = dh.require_cols()
         for g in self.groups:
+            g.sync_host()  # materialize any pending device-side reorder
             vals = g.values_host  # host copies kept at build time — no
             msks = g.masks_host   # device->host table readback per call
             ends = np.maximum(dh.length - g.lengths + 1, 0).astype(np.int32)
@@ -480,6 +544,45 @@ class BatchedSearcher:
         for i, hs in self._huge:
             out[i] = hs.positions(dh)
         return out  # type: ignore[return-value]
+
+
+@functools.lru_cache(maxsize=32)
+def _device_schedule_jit(sizes: tuple, n_pads: tuple, n_ends: tuple):
+    """One fused device program applying an adaptive block schedule: per
+    group, gather the measuring sweep's firsts through the scatter order,
+    argsort (jnp sorts are stable; SENTINEL-absent rows sort last, like
+    the host path), and permute the real rows of values/masks and every
+    cached ends vector; padded rows stay in place.  Returns the new
+    concatenated scatter order and per-group (values, masks, ends...,
+    perm).  Everything is an operand — a reschedule never recompiles the
+    sweep programs (same property as the host path)."""
+
+    @jax.jit
+    def apply(firsts, order, *flat):
+        i = 0
+        off = 0
+        new_order = []
+        outs = []
+        for sz, _npad, ne in zip(sizes, n_pads, n_ends):
+            v, m = flat[i], flat[i + 1]
+            ends = flat[i + 2 : i + 2 + ne]
+            i += 2 + ne
+            idx = jax.lax.slice_in_dim(order, off, off + sz)
+            off += sz
+            p = jnp.argsort(firsts[idx]).astype(jnp.int32)
+            new_order.append(idx[p])
+            outs.append((
+                v.at[:sz].set(v[:sz][p]),
+                m.at[:sz].set(m[:sz][p]),
+                tuple(e.at[:sz].set(e[:sz][p]) for e in ends),
+                p,
+            ))
+        return (
+            jnp.concatenate(new_order) if new_order else order,
+            tuple(outs),
+        )
+
+    return apply
 
 
 @functools.lru_cache(maxsize=64)

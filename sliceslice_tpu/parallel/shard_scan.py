@@ -606,6 +606,7 @@ class ShardedBatchedSearcher:
     def _tables(self, hay_len: int):
         tabs = []
         for grp in self.inner.groups:
+            grp.sync_host()  # device-side reorders materialize lazily
             # Ends stay HOST int64 (global bounds past 2 GiB don't fit
             # int32); _sharded_homogeneous clips them to per-shard int32.
             ends64 = np.maximum(
@@ -900,6 +901,7 @@ class ShardedBatchedSearcher:
         dh = self._corpus(dh)
         out: list = [None] * len(self.inner)
         for grp in self.inner.groups:
+            grp.sync_host()
             vals = grp.values_host  # host copies kept at build time — no
             msks = grp.masks_host   # device->host table readback per call
             ends = np.maximum(

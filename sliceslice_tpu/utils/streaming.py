@@ -751,6 +751,7 @@ class StreamingScanner:
         positions only in [0, window) — the overlap peek belongs to the
         next window — except in the final window, where the stream's true
         end applies."""
+        grp.sync_host()  # a device-side reorder may not be materialized
         lens = grp.lengths
         end_local = wlen - lens + 1 if is_last else np.minimum(
             self.window, wlen - lens + 1

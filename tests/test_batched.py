@@ -147,3 +147,45 @@ def test_optimize_for_exactness(rng):
     from sliceslice_tpu.searcher import overlapping_count
 
     assert list(cnt) == [overlapping_count(hay, nd) for nd in needles]
+
+
+def test_optimize_for_device_path_exact_and_lazy_sync(rng):
+    """The cold optimize_for path computes the schedule ON DEVICE (sweep ->
+    argsort -> table/ends/order permute, zero readbacks, zero uploads —
+    VERDICT r4 item 7): results stay exact, composing a second device
+    reschedule stays exact, host consumers (positions) materialize the
+    pending permutation lazily, and a host-path reschedule after a device
+    one still works."""
+    hay = bytes(rng.integers(97, 103, (200_000,), dtype=np.uint8))
+    needles = [hay[i : i + k] for i, k in
+               [(5, 4), (77, 7), (9_000, 12), (150_000, 5), (44, 16),
+                (199_990, 9)]] + [b"NOPE!", b"zz"]
+    dh = preprocess(hay, force_cols=True)
+    bs = BatchedSearcher(needles)
+    base = bs.find_all(dh)
+    epoch0 = bs._epoch
+    bs.optimize_for(dh)
+    assert bs._epoch == epoch0 + 1
+    # Device path: host copies intentionally stale until needed.
+    assert any(g._host_perm_pending is not None for g in bs.groups)
+    assert np.array_equal(bs.find_all(dh), base)
+    # Second device reschedule composes the pending permutations.
+    bs.optimize_for(dh)
+    assert np.array_equal(bs.find_all(dh), base)
+    # Host consumer triggers lazy sync and stays exact.
+    pos = bs.positions_all(dh)
+    assert all(g._host_perm_pending is None for g in bs.groups)
+    for nd, p in zip(needles, pos):
+        exp, q = [], hay.find(nd)
+        while q >= 0:
+            exp.append(q)
+            q = hay.find(nd, q + 1)
+        assert list(p) == exp, nd
+    # Host-path (piggyback) reschedule after the device ones.
+    bs.optimize_for(dh, firsts=base)
+    assert np.array_equal(bs.find_all(dh), base)
+    # count path uses the permuted ends cache.
+    from sliceslice_tpu.searcher import overlapping_count
+
+    cnt = bs.count_all(dh)
+    assert list(cnt) == [overlapping_count(hay, nd) for nd in needles]
