@@ -36,7 +36,7 @@ from .ops.pairwise import PairwiseSearcher, pairwise_contains_all
 from .searcher import EmptyNeedleSearcher, SearcherBase, overlapping_count
 from .utils.streaming import StreamingScanner
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "config",
