@@ -97,7 +97,10 @@ def streaming_phase(long_bytes: int = 1 << 30) -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts/stream_bench.py"),
              str(long_bytes)],
-            capture_output=True, text=True, timeout=3000, cwd=REPO,
+            # Budget exceeds the sum of stream_bench's five serialized
+            # per-child timeouts (5 x 1200 s) so one slow-weather child
+            # cannot kill the whole phase's record.
+            capture_output=True, text=True, timeout=6600, cwd=REPO,
         )
         return json.loads(proc.stdout.strip().splitlines()[-1])
     except Exception as e:  # pragma: no cover

@@ -83,7 +83,7 @@ def draw_needles(path: str, size: int):
     ] + [b"\x00absent!" + bytes(8) + b"q" * 9]
 
 
-def link_probes(window: int = WINDOW, reps: int = 4) -> dict:
+def link_probes(window: int = 8 << 20, reps: int = 3) -> dict:
     """Two host->device ingest measurements on THIS child's link:
 
     * ``link_staging_gbps`` — upload + block only.  On transports that
@@ -105,25 +105,49 @@ def link_probes(window: int = WINDOW, reps: int = 4) -> dict:
     probe = jax.jit(lambda x: x[:8].astype(jnp.int32).sum())
     int(np.asarray(probe(jnp.asarray(buf))))  # compile + settle
     t0 = time.perf_counter()
+    done = 0
     for i in range(reps):
         buf[:64] = i  # content changes so nothing can be deduplicated
         int(np.asarray(probe(jnp.asarray(buf))))
-    wire = window * reps / (time.perf_counter() - t0) / 1e6
+        done += 1
+        if time.perf_counter() - t0 > 15:
+            break  # terrible weather: one rep is measurement enough
+    wire = window * done / (time.perf_counter() - t0) / 1e6
     return {
         "link_staging_gbps": round(staging, 3),
         "link_wire_mbps": round(wire, 1),
+        "wire_probe_reps": done,
     }
 
 
 def child(mode: str, size: int) -> dict:
-    """Run ONE timed stream on a clean link: warmup (exact shapes, zero
-    readbacks) -> link probe (find only; upload-only) -> the stream."""
+    """Run ONE timed stream on a clean link: transport flush -> wire
+    probe -> weather-adaptive stream sizing -> warmup (exact shapes) ->
+    the stream.  The wire on this transport swings ~0.2-40 MB/s with
+    weather (docs/DESIGN.md), so the stream length is capped to a fixed
+    time budget at the JUST-measured rate — a bad-weather round records a
+    smaller exact measurement instead of a timeout hole."""
     import jax
+    import jax.numpy as jnp
 
     from sliceslice_tpu.utils.streaming import StreamingScanner
 
     if jax.default_backend() != "tpu":
         return {"skipped": f"backend={jax.default_backend()}"}
+    # Force the process's first (pathologically slow) wire flush on 32
+    # bytes, before anything bulk — see StreamingScanner.warmup.
+    np.asarray(jnp.zeros((8,), jnp.int32) + 1)
+    res = {"mode": mode, "window": WINDOW}
+    res.update(link_probes())
+    wire = res.get("link_wire_mbps") or 0.0
+    budget_s = 150 if mode == "positions" else 360
+    if wire > 0:
+        cap = int(wire * 1e6 * budget_s)
+        eff = max(4 * WINDOW, min(size, cap) // WINDOW * WINDOW)
+        if eff < size:
+            res["requested_bytes"] = size
+            res["sized_to_s"] = budget_s
+            size = eff
     path = ensure_corpus(size)
     needles = draw_needles(path, size)
     if mode == "positions":
@@ -131,13 +155,10 @@ def child(mode: str, size: int) -> dict:
     sc = StreamingScanner(needles, window_bytes=WINDOW)
     t0 = time.perf_counter()
     sc.warmup(modes=(mode,))
-    warm_s = time.perf_counter() - t0
-    res = {
-        "mode": mode, "bytes": size, "window": WINDOW,
-        "needles": len(needles), "warmup_s": round(warm_s, 1),
-    }
-    if mode == "find":
-        res.update(link_probes())
+    res.update({
+        "bytes": size, "needles": len(needles),
+        "warmup_s": round(time.perf_counter() - t0, 1),
+    })
     t0 = time.perf_counter()
     if mode == "find":
         out = sc.find_in_file(path, early_stop=False)
@@ -161,7 +182,7 @@ def child(mode: str, size: int) -> dict:
     return res
 
 
-def _spawn(mode: str, size: int, timeout: int = 1500) -> dict:
+def _spawn(mode: str, size: int, timeout: int = 1200) -> dict:
     """One serialized fresh-process measurement (the parent holds no
     device, so the child owns the chip alone)."""
     ensure_corpus(size)

@@ -239,6 +239,7 @@ def preprocess(
     seg_rows: Optional[int] = None,
     windows_only: bool = False,
     length: Optional[int] = None,
+    zero_copy: bool = False,
 ) -> DeviceHaystack:
     """Build the device layout for a haystack. O(len) once, amortized over all
     subsequent searches.
@@ -250,9 +251,15 @@ def preprocess(
 
     ``length``: logical corpus length when ``hay`` is an ndarray LONGER
     than it — the caller pre-padded the buffer with zeros (streaming's
-    fixed-shape windows).  When the buffer length equals the layout's
-    padded total, the layout uploads it ZERO-COPY (no host repack — the
-    streaming hot path allocates buffers at exactly that size)."""
+    fixed-shape windows).
+
+    ``zero_copy``: skip the defensive snapshot of an ndarray input.  On
+    some backends (CPU) ``device_put`` aliases host memory, so the caller
+    must then NEVER mutate the buffer while this layout is alive —
+    streaming's pooled loop guarantees that by retiring buffers only
+    after the derived arrays materialize.  With the buffer length equal
+    to the layout's padded total this makes the upload fully copy-free
+    host-side."""
     if isinstance(hay, np.ndarray):
         if hay.dtype != np.uint8:
             raise TypeError(f"haystack ndarray must be uint8, got {hay.dtype}")
@@ -263,6 +270,10 @@ def preprocess(
             raise ValueError(
                 f"length={length} exceeds the {arr.size}-byte buffer"
             )
+        if not zero_copy:
+            # Snapshot: device_put may alias host memory (CPU backend), and
+            # the pre-r5 contract let callers reuse their buffer freely.
+            arr = np.array(arr, copy=True)
     else:
         data = bytes(hay)
         if length is not None and length != len(data):

@@ -802,10 +802,10 @@ class ShardedBatchedSearcher:
         peek_len = min(max(k - 1, 0), len(peek))
         if own <= 0 or len(lb) + peek_len < k:
             return np.empty((0,), np.int64)
-        key = (id(lb), peek_len)
+        key = (id(lb), id(peek), peek_len)
         hit = self._huge_local_layouts.get(key)
-        if hit is not None and hit[0] is lb:
-            dhl = hit[1]
+        if hit is not None and hit[0] is lb and hit[1] is peek:
+            dhl = hit[2]
         else:
             from ..models.huge import CHUNK
             from ..needle import needed_halo_for_t
@@ -817,10 +817,12 @@ class ShardedBatchedSearcher:
             dhl = preprocess(
                 lb + peek[:peek_len], kh=needed_halo_for_t(CHUNK // 4)
             )
-            # Strong ref to lb keeps the id() key stable (bytes cannot be
-            # weak-referenced); FIFO capacity bounds what a dead corpus
-            # can pin.
-            self._huge_local_layouts[key] = (lb, dhl)
+            # Strong refs to lb AND peek keep the id() keys stable (bytes
+            # cannot be weak-referenced) and make the identity check
+            # airtight — a new corpus pairing the same local bytes with a
+            # DIFFERENT neighbor peek must not hit this entry.  FIFO
+            # capacity bounds what a dead corpus can pin.
+            self._huge_local_layouts[key] = (lb, peek, dhl)
             while len(self._huge_local_layouts) > self._PLACED_CACHE_CAP:
                 self._huge_local_layouts.pop(
                     next(iter(self._huge_local_layouts))

@@ -130,10 +130,10 @@ def _chunk_windows(
 @jax.jit
 def _count_fold64(hi, lo, c):
     """Two-limb uint32 device accumulator: exact mod-2^64 totals with NO
-    device->host traffic per window (the host link enters a ~40x slower
-    bulk-transfer mode after the first data readback on some transports —
-    measured on the axon tunnel, r4 — so streamed folds stay on device and
-    the stream reads back ONCE at the end)."""
+    device->host traffic per window — readbacks cost a full round trip on
+    remote transports (and force wire flushes on staging transports, see
+    docs/DESIGN.md "Remote-transport model"), so streamed folds stay on
+    device and the stream reads back ONCE at the end."""
     c = c.astype(jnp.uint32)
     lo2 = lo + c
     carry = (lo2 < c).astype(jnp.uint32)
@@ -292,10 +292,12 @@ class StreamingScanner:
 
     def stats_summary(self) -> dict:
         """Per-stream attribution of the LAST stream run: accumulated
-        seconds in file read, window prep (pad + layout + upload issue),
-        scan dispatch, and device drain, plus p50/p90 per-window wall
-        latency.  Read/prep run on the prefetch thread when pipelining is
-        on, so their sum can exceed the stream's wall time (overlap)."""
+        seconds in file read (including ``buf_wait_s``, the pool
+        backpressure component — pure IO is their difference), window
+        prep, upload + pool retirement, scan dispatch, and device drain,
+        plus p50/p90 per-window wall latency.  Read/prep run on the
+        prefetch thread when pipelining is on, so their sum can exceed
+        the stream's wall time (overlap)."""
         s = dict(self.stats)
         wm = s.pop("window_ms", [])
         out = {k: (round(v, 4) if isinstance(v, float) else v)
@@ -348,6 +350,7 @@ class StreamingScanner:
             windows_only=not (huge or need_cols),
             force_cols=self.mesh is not None,
             length=self._wcap,
+            zero_copy=True,  # fresh per-window buffers, never reused
         )
         self._stats_add("prep_s", time.perf_counter() - t0)
         return dh
@@ -457,17 +460,16 @@ class StreamingScanner:
     def warmup(
         self, modes: Sequence[str] = ("find", "count", "positions")
     ) -> "StreamingScanner":
-        """Compile every kernel shape the stream will use, WITHOUT a single
-        device->host data readback: one synthetic window at the stream's
-        fixed ``_wcap`` layout (EVERY real window — including the final
-        short one — is padded to that same shape, see ``_prep``) runs
-        through the fused find/count steps, the positions bitmap batches,
-        and — when huge needles exist — their prefix-filter and dense
-        chained-bitmap programs, blocked on device.  Use before timed
-        runs — and on transports where the first data readback permanently
-        degrades bulk transfer bandwidth (see _count_fold64), call this so
-        the stream itself runs at full link speed and reads back once at
-        the end."""
+        """Compile every kernel shape the stream will use: one synthetic
+        window at the stream's fixed ``_wcap`` layout (EVERY real window —
+        including the final short one — is padded to that same shape, see
+        ``_prep``) runs through the fused find/count steps, the positions
+        bitmap batches, and — when huge needles exist — their
+        prefix-filter and dense chained-bitmap programs, blocked on
+        device.  Performs exactly ONE deliberate 32-byte readback up
+        front (the transport sync below — pulling the first-flush cost
+        out of the timed stream); no RESULT data is ever read back.  Use
+        before timed runs."""
         bs = self.batched
         need_cols = "positions" in modes or bool(bs._huge)
         # Transport sync FIRST: some remote-device transports stage
@@ -630,15 +632,30 @@ class StreamingScanner:
         stop = threading.Event()
         if use_pool:
             free_q = self._ensure_pool()
+            # Top up buffers lost to an aborted earlier stream (items
+            # dropped from the hand-off queue on early stop) — new
+            # buffers re-register on first upload; correctness never
+            # depends on pool population.
+            target = max(self.prefetch, 1) + 2
+            while free_q.qsize() < target:
+                free_q.put(np.zeros((self._buf_total,), np.uint8))
 
             def alloc():
-                while True:
-                    if stop.is_set():
-                        raise _IngestStopped()
-                    try:
-                        return free_q.get(timeout=0.05)
-                    except queue.Empty:
-                        continue
+                t0 = time.perf_counter()
+                try:
+                    while True:
+                        if stop.is_set():
+                            raise _IngestStopped()
+                        try:
+                            return free_q.get(timeout=0.05)
+                        except queue.Empty:
+                            continue
+                finally:
+                    # Pool backpressure (consumer still draining) — also
+                    # inside read_s, so pure file IO = read_s - buf_wait_s.
+                    self._stats_add(
+                        "buf_wait_s", time.perf_counter() - t0
+                    )
 
             windows = self._timed_windows(iter(factory(alloc)))
         else:
@@ -659,15 +676,21 @@ class StreamingScanner:
             free_q.put(ob)
 
         def make_dh(buf):
-            """Main-thread device_put + one-window-delayed pool recycle."""
+            """Main-thread device_put + one-window-delayed pool recycle.
+            ``upload_s`` counts the device_put issue and the previous
+            window's retirement wait ONLY (prep_s is accrued separately
+            inside _prep — the stats keys stay disjoint)."""
             if not use_pool:
                 return self._prep(buf, need_cols)
             t0 = time.perf_counter()
-            dh = self._prep(jnp.asarray(buf), need_cols)
+            dev = jnp.asarray(buf)
+            self._stats_add("upload_s", time.perf_counter() - t0)
+            dh = self._prep(dev, need_cols)
             pending.append((dh, buf))
             if len(pending) > 1:
+                t0 = time.perf_counter()
                 _retire(pending.pop(0))
-            self._stats_add("upload_s", time.perf_counter() - t0)
+                self._stats_add("upload_s", time.perf_counter() - t0)
             return dh
 
         try:
@@ -716,13 +739,16 @@ class StreamingScanner:
                     buf, wlen, is_last = item
                     yield make_dh(buf), wlen, is_last
             finally:
-                # Early stop (or consumer error): unblock + retire worker.
+                # Early stop (or consumer error): unblock + retire worker,
+                # returning any pooled buffers still in the hand-off queue.
                 stop.set()
                 while True:
                     try:
-                        q.get_nowait()
+                        item = q.get_nowait()
                     except queue.Empty:
                         break
+                    if use_pool and isinstance(item, tuple):
+                        free_q.put(item[0])
                 t.join(timeout=5.0)
         finally:
             stop.set()
@@ -907,10 +933,9 @@ class StreamingScanner:
                         "dispatch_s", time.perf_counter() - t0
                     )
                 else:
-                    merged = self._count_window(dh, wlen, is_last)
-                    if not isinstance(merged, np.ndarray):
-                        merged = np.asarray(merged)
-                    pending.append(merged)
+                    # Converted at the check_every cadence (_fold_counts),
+                    # not per window.
+                    pending.append(self._count_window(dh, wlen, is_last))
             since += 1
             self.stats["windows"] = self.stats.get("windows", 0) + 1
             self.stats["bytes"] += wlen
@@ -1027,10 +1052,22 @@ class StreamingScanner:
                         "dispatch_s", time.perf_counter() - t0
                     )
                 else:
-                    # Mesh streams (replicated multi-process arrays) and
-                    # flat tiny windows keep the proven host fold.
+                    # Mesh streams (replicated multi-process arrays) keep
+                    # the host fold at the check_every cadence; flat tiny
+                    # windows fold on device (_first_fold) — neither path
+                    # syncs per window.
                     merged = self._window_find_slow(dh, wlen, is_last)
-                    pending.append((base, merged))
+                    if isinstance(merged, np.ndarray) or (
+                        self.mesh is not None
+                    ):
+                        pending.append((base, merged))
+                    else:
+                        if best_w is None:
+                            best_w = jnp.full((n,), SENTINEL, jnp.int32)
+                            best_l = jnp.full((n,), SENTINEL, jnp.int32)
+                        best_w, best_l = _first_fold(
+                            best_w, best_l, jnp.int32(w_idx), merged
+                        )
             base += self.window
             w_idx += 1
             since_check += 1
@@ -1082,10 +1119,7 @@ class StreamingScanner:
                 )
             parts.append(local)
             blobs.append(grp.indices.tobytes())
-        merged = self._merge_parts(parts, blobs, absent=-1)
-        if not isinstance(merged, np.ndarray):
-            merged = np.asarray(merged)
-        return merged
+        return self._merge_parts(parts, blobs, absent=-1)
 
     def _all_found(self, best: np.ndarray, best_w) -> bool:
         """Early-stop check.  Reads the device accumulator (a small

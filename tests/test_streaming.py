@@ -557,3 +557,24 @@ def test_device_fold_primitives_exact():
     )
     assert list(np.asarray(bw)) == [1, 0, SENTINEL]
     assert list(np.asarray(bl)) == [9, 7, SENTINEL]
+
+
+def test_stream_pool_survives_repeated_early_stops(tmp_path, corpus):
+    """Early-stopped streams abandon in-flight pooled buffers; the pool
+    must recover (drain + top-up) so a long sequence of early stops never
+    starves a later full stream."""
+    p = tmp_path / "c.bin"
+    p.write_bytes(corpus)
+    sc = StreamingScanner(
+        [corpus[10:20], b"NOPE!"], window_bytes=65_536, check_every=1,
+        prefetch=2,
+    )
+    for _ in range(6):
+        got = sc.find_in_file(str(p), early_stop=True)
+        assert int(got[0]) == 10
+    full = sc.find_in_file(str(p), early_stop=False)
+    assert int(full[0]) == 10 and int(full[1]) == -1
+    cnt = sc.count_in_file(str(p))
+    from sliceslice_tpu.searcher import overlapping_count
+
+    assert int(cnt[0]) == overlapping_count(corpus, corpus[10:20])
