@@ -272,6 +272,17 @@ def main():
         conf_path = conformance.write_artifact(conf)
         print(f"conformance -> {conf_path}: {conf}", file=sys.stderr)
         detail["round"] = round_no
+        # Embedded headline: the README/svg generators read the newest
+        # DETAIL artifact, so the table can regenerate from this round's
+        # numbers before the driver records BENCH_rNN.json.
+        _v = m.gbps("estimate")
+        detail["headline"] = {
+            "value": round(_v, 2),
+            "unit": "GB/s",
+            "vs_baseline": round(
+                _v / ((4585 * 857425) / REFERENCE_SWEEP_S / 1e9), 3
+            ),
+        }
         dpath = os.path.join(REPO, f"BENCH_DETAIL_r{round_no:02d}.json")
         with open(dpath, "w") as f:
             json.dump(detail, f, indent=1)

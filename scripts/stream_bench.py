@@ -218,9 +218,10 @@ def run(long_bytes: int, fast: bool = False) -> dict:
     short = 256 << 20
     res = {
         "window_bytes": WINDOW,
-        "protocol": "one fresh child process per timed stream (first "
-        "readback collapses this transport's bulk bandwidth ~40x; "
-        "children serialized, parent never touches the device)",
+        "protocol": "one fresh child process per timed stream (each "
+        "flushes the transport early, probes the WIRE rate, and sizes "
+        "its stream to a time budget at that rate; children serialized, "
+        "parent never touches the device)",
     }
     res["find_long"] = _spawn("find", long_bytes)
     res["count_long"] = _spawn("count", long_bytes if not fast else short)
