@@ -288,6 +288,19 @@ def main():
             json.dump(detail, f, indent=1)
             f.write("\n")
         print(f"detail -> {dpath}", file=sys.stderr)
+        # Keep the README table and benchmarks.svg consistent with THIS
+        # freshest artifact (tests/test_docs.py fails the suite on any
+        # drift) — best-effort: a chart failure must not sink the run.
+        try:
+            import update_readme_bench
+
+            update_readme_bench.apply()
+            import make_benchmarks_svg
+
+            make_benchmarks_svg.main()
+            print("README + benchmarks.svg regenerated", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"headline regeneration failed: {e!r}", file=sys.stderr)
         if conf["long_mismatches"] or conf["short_mismatches"]:
             print(json.dumps({"metric": "FAILED_FULL_CONFORMANCE",
                               "value": 0.0, "unit": "GB/s",
