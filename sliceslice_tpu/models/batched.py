@@ -499,13 +499,17 @@ class BatchedSearcher:
         self._epoch += 1
 
     def positions_all(
-        self, hay: HaystackLike, batch: int = 16
+        self, hay: HaystackLike, batch: int = 16, sparse_cap: int = 4096
     ) -> List[np.ndarray]:
         """ALL (overlapping) match offsets per needle, in input order —
-        the batched ``find_iter`` capability.  Full scans producing packed
-        match bitmaps, read back ``batch`` needles at a time (corpus/8
-        bytes each); prefer ``find_all``/``count_all`` when only first
-        offsets or totals are needed."""
+        the batched ``find_iter`` capability.  Adaptive two-tier scan:
+        the device first COMPACTS each needle's matches to its
+        ``sparse_cap`` earliest offsets (readback = cap words per needle —
+        ~1000x less than the bitmap for sparse needles, the common case);
+        needles whose device count exceeds the cap fall back to the packed
+        match bitmap (corpus/8 bytes each), read back ``batch`` needles at
+        a time.  Prefer ``find_all``/``count_all`` when only first offsets
+        or totals are needed."""
         from ..searcher import _host_positions
 
         dh = self._layout(hay)
@@ -517,10 +521,6 @@ class BatchedSearcher:
                 )
             return [_host_positions(data, nd) for nd in self.needles]
         out: List[Optional[np.ndarray]] = [None] * len(self.needles)
-        # Readback-bound path: each batch moves corpus/8 bytes per needle
-        # to host.  (A one-batch dispatch lookahead was tried in r2 and
-        # measured NO gain through this host link — transfers don't overlap
-        # the next batch's scan here — so the loop stays simple.)
         cols = dh.require_cols()
         for g in self.groups:
             g.sync_host()  # materialize any pending device-side reorder
@@ -528,19 +528,34 @@ class BatchedSearcher:
             msks = g.masks_host   # device->host table readback per call
             ends = np.maximum(dh.length - g.lengths + 1, 0).astype(np.int32)
             for i0 in range(0, g.n, batch):
-                words = np.asarray(
-                    xla_backend.match_bitmap_batched(
-                        cols,
-                        vals[i0 : i0 + batch],
-                        msks[i0 : i0 + batch],
-                        ends[i0 : i0 + batch],
-                        dh.s,
-                    )
+                vs = vals[i0 : i0 + batch]
+                ms = msks[i0 : i0 + batch]
+                es = ends[i0 : i0 + batch]
+                cnt, pos = xla_backend.compact_positions_batched(
+                    cols, vs, ms, es, dh.s, sparse_cap
                 )
-                for j in range(words.shape[0]):
-                    out[g.indices[i0 + j]] = xla_backend.decode_match_bitmap(
-                        words[j], dh.s
+                cnt = np.asarray(cnt)
+                pos = np.asarray(pos)
+                dense = []
+                for j in range(len(vs)):
+                    if cnt[j] <= sparse_cap:
+                        out[g.indices[i0 + j]] = pos[j, : cnt[j]].astype(
+                            np.int64
+                        )
+                    else:
+                        dense.append(j)
+                if dense:
+                    # Dense rows: the bitmap tier (readback-bound, exact).
+                    dj = np.asarray(dense)
+                    words = np.asarray(
+                        xla_backend.match_bitmap_batched(
+                            cols, vs[dj], ms[dj], es[dj], dh.s
+                        )
                     )
+                    for k, j in enumerate(dense):
+                        out[g.indices[i0 + j]] = (
+                            xla_backend.decode_match_bitmap(words[k], dh.s)
+                        )
         for i, hs in self._huge:
             out[i] = hs.positions(dh)
         return out  # type: ignore[return-value]

@@ -191,6 +191,63 @@ def match_bitmap_batched(cols, values, masks, ends, s: int):
     )
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _compact_positions_impl(cols, values, masks, end, s, cap):
+    """Single needle: (count, the ``cap`` smallest valid match offsets,
+    int32 ascending, SENTINEL-filled past the count)."""
+    seg = s * 128
+    t_num = values.shape[0]
+    k_seg = min(cap, seg)
+
+    def one_seg(tile, g_idx):
+        p = packed_windows(tile)
+        probes = [(4 * t, values[t], masks[t]) for t in range(t_num)]
+        acc = probe_acc(value_slicer(p, s), probes)  # (s, 128) bool
+        pos = segment_positions(s) + g_idx * seg
+        valid = jnp.logical_and(acc, pos < end)
+        cnt = jnp.sum(valid.astype(jnp.int32))
+        flat = jnp.where(valid, pos, SENTINEL).reshape(-1)
+        # cap smallest positions of this segment: top_k of the negation
+        # (descending -pos == ascending pos).
+        return cnt, -jax.lax.top_k(-flat, k_seg)[0]
+
+    counts, parts = jax.vmap(one_seg)(cols, jnp.arange(cols.shape[0]))
+    allp = parts.reshape(-1)
+    k = min(cap, allp.size)
+    top = -jax.lax.top_k(-allp, k)[0]
+    if k < cap:
+        top = jnp.concatenate(
+            [top, jnp.full((cap - k,), SENTINEL, jnp.int32)]
+        )
+    return jnp.sum(counts), top
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _compact_positions_batched_impl(cols, values, masks, ends, s, cap):
+    def one(vals, msks, end):
+        return _compact_positions_impl(cols, vals, msks, end, s, cap)
+
+    return jax.vmap(one)(values, masks, ends)
+
+
+def compact_positions_batched(cols, values, masks, ends, s: int, cap: int):
+    """Size-bounded ALL-positions scan: (counts int32[N], offsets
+    int32[N, cap] ascending, SENTINEL-filled).  For needles with at most
+    ``cap`` matches the offsets are complete and exact — the readback is
+    ``cap`` words per needle instead of the bitmap's corpus/8 bytes
+    (~1000x less for sparse needles); rows with ``count > cap`` hold the
+    ``cap`` EARLIEST matches and the caller falls back to the bitmap for
+    those needles (positions_all / streaming do this automatically)."""
+    return _compact_positions_batched_impl(
+        cols,
+        jnp.asarray(values, jnp.uint32),
+        jnp.asarray(masks, jnp.uint32),
+        jnp.asarray(ends, jnp.int32),
+        s,
+        int(cap),
+    )
+
+
 def decode_match_bitmap(words: "np.ndarray", s: int) -> "np.ndarray":
     """Decode :func:`match_bitmap_cols` output to sorted match offsets
     (int64[M], ascending).  Prefers the native C++ decoder (popcount-sized

@@ -561,12 +561,23 @@ class StreamingScanner:
                 for grp in bs.groups:
                     e = self._group_ends(grp, wlen, False)[: grp.n]
                     # The positions loop slices 16-needle batches; compile
-                    # the full-batch shape and the distinct tail shape.
+                    # the full-batch shape and the distinct tail shape,
+                    # for BOTH tiers (the sparse compact scan and the
+                    # dense bitmap fallback — a dense needle mid-stream
+                    # must not pay a compile).
                     batch = 16
                     spans = {min(batch, grp.n)}
                     if grp.n > batch and grp.n % batch:
                         spans.add(grp.n % batch)
                     for sp in spans:
+                        outs.extend(
+                            xla_backend.compact_positions_batched(
+                                cols, grp.values_host[:sp],
+                                grp.masks_host[:sp],
+                                np.asarray(e[:sp], np.int32), dh.s,
+                                self.sparse_cap,
+                            )
+                        )
                         outs.append(
                             xla_backend.match_bitmap_batched(
                                 cols, grp.values_host[:sp],
@@ -1195,6 +1206,11 @@ class StreamingScanner:
             for p in out
         ]
 
+    #: per-window sparse-positions budget: needles with at most this many
+    #: matches in a window read back ``cap`` words instead of the
+    #: window/8-byte bitmap (the dominant readback of a positions stream).
+    sparse_cap = 4096
+
     def _positions_batch(self, dh, vals, msks, ends) -> list:
         from ..ops import xla_backend
 
@@ -1202,16 +1218,28 @@ class StreamingScanner:
             from ..parallel.shard_scan import sharded_positions
 
             return sharded_positions(dh, vals, msks, ends, self.mesh)
-        words = np.asarray(
-            xla_backend.match_bitmap_batched(
-                dh.require_cols(), vals, msks,
-                np.asarray(ends, np.int32), dh.s,
-            )
+        cols = dh.require_cols()
+        es = np.asarray(ends, np.int32)
+        cnt, pos = xla_backend.compact_positions_batched(
+            cols, vals, msks, es, dh.s, self.sparse_cap
         )
-        return [
-            xla_backend.decode_match_bitmap(words[j], dh.s)
-            for j in range(words.shape[0])
-        ]
+        cnt = np.asarray(cnt)
+        pos = np.asarray(pos)
+        out: list = [None] * len(vals)
+        dense = [j for j in range(len(vals)) if cnt[j] > self.sparse_cap]
+        for j in range(len(vals)):
+            if cnt[j] <= self.sparse_cap:
+                out[j] = pos[j, : cnt[j]].astype(np.int64)
+        if dense:
+            dj = np.asarray(dense)
+            words = np.asarray(
+                xla_backend.match_bitmap_batched(
+                    cols, vals[dj], msks[dj], es[dj], dh.s
+                )
+            )
+            for k, j in enumerate(dense):
+                out[j] = xla_backend.decode_match_bitmap(words[k], dh.s)
+        return out
 
     def _fold_counts(self, totals: np.ndarray, pending: List) -> None:
         for arr in pending:

@@ -113,3 +113,38 @@ def test_decode_match_bitmap_roundtrip(rng):
         lane, row = divmod(rem, s)
         back[gi, row // 32, lane] |= np.uint32(1) << np.uint32(row % 32)
     assert (back == words).all()
+
+
+def test_compact_positions_cap_edges(rng):
+    """The sparse compact tier is exact at count == cap and falls back to
+    the bitmap at count == cap + 1; both tiers agree with the oracle."""
+    from sliceslice_tpu.models.batched import BatchedSearcher
+    from sliceslice_tpu.ops.layout import preprocess
+
+    filler = bytes(rng.integers(103, 110, (120_000,), dtype=np.uint8))
+    hay = bytearray(filler)
+    cap = 64
+    # Plant exactly cap occurrences of one needle and cap+1 of another.
+    for i in range(cap):
+        p = 37 + i * 1_500
+        hay[p : p + 4] = b"XYZ!"
+    for i in range(cap + 1):
+        p = 900 + i * 1_100
+        hay[p : p + 4] = b"QRS?"
+    hay = bytes(hay)
+    dh = preprocess(hay, force_cols=True)
+    bs = BatchedSearcher([b"XYZ!", b"QRS?", b"NOPE!", hay[5:13]])
+    got = bs.positions_all(dh, sparse_cap=cap)
+
+    def oracle(nd):
+        out, q = [], hay.find(nd)
+        while q >= 0:
+            out.append(q)
+            q = hay.find(nd, q + 1)
+        return out
+
+    for nd, g in zip([b"XYZ!", b"QRS?", b"NOPE!", hay[5:13]], got):
+        assert list(g) == oracle(nd), nd
+    # Sanity on the tier split: XYZ! had exactly cap matches (compact),
+    # QRS? one more (bitmap fallback) — both exact above.
+    assert len(got[0]) == cap and len(got[1]) == cap + 1
