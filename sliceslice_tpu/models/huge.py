@@ -123,8 +123,24 @@ class HugeNeedleSearcher(SearcherBase):
         return _prefix_searcher(self.needle).count_in(dh)
 
     def _host_candidates(self, dh: DeviceHaystack) -> np.ndarray:
-        """Decoded ascending candidate offsets (sparse tier only)."""
-        return _prefix_searcher(self.needle).positions(dh)
+        """Ascending candidate offsets (sparse tier only — the caller has
+        already verified the count is <= HOST_VERIFY_MAX, so the compact
+        scan is exact and reads back HOST_VERIFY_MAX words instead of the
+        corpus/8-byte bitmap)."""
+        from ..needle import probe_program
+        from ..ops import xla_backend
+
+        pk = self.needle.size
+        dh2 = dh.ensure_kh(pk)
+        values, masks = probe_program(self.needle.data)
+        _, pos = xla_backend.compact_positions(
+            dh2.require_cols(), values, masks, dh2.length - pk + 1,
+            dh2.s, HOST_VERIFY_MAX,
+        )
+        pos = np.asarray(pos)
+        from ..ops.scan_math import SENTINEL
+
+        return pos[pos < SENTINEL].astype(np.int64)
 
     def _dense(self, dh: DeviceHaystack):
         """Dense tier: device (count, first, words) over the chained bitmap."""

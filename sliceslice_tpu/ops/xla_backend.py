@@ -222,6 +222,19 @@ def _compact_positions_impl(cols, values, masks, end, s, cap):
     return jnp.sum(counts), top
 
 
+def compact_positions(cols, values, masks, end, s: int, cap: int):
+    """Single-needle :func:`compact_positions_batched`: (count int32,
+    offsets int32[cap] ascending, SENTINEL-filled)."""
+    return _compact_positions_impl(
+        cols,
+        jnp.asarray(values, jnp.uint32),
+        jnp.asarray(masks, jnp.uint32),
+        jnp.asarray(end, jnp.int32),
+        s,
+        int(cap),
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def _compact_positions_batched_impl(cols, values, masks, ends, s, cap):
     def one(vals, msks, end):

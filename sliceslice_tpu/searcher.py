@@ -164,8 +164,20 @@ class SearcherBase:
                 return _host_positions(data, self.needle.data)
             dh = self._layout(data)
         values, masks = probe_program(self.needle.data)
+        cols = dh.require_cols()
+        end = dh.length - k + 1
+        # Two-tier: device-compacted earliest offsets for sparse needles
+        # (cap words of readback), exact packed-bitmap decode (corpus/8
+        # bytes) when the device count exceeds the cap.
+        cap = 4096
+        cnt, pos = xla_backend.compact_positions(
+            cols, values, masks, end, dh.s, cap
+        )
+        if int(cnt) <= cap:
+            pos = np.asarray(pos)
+            return pos[: int(cnt)].astype(np.int64)
         words = xla_backend.match_bitmap_cols(
-            dh.require_cols(), values, masks, dh.length - k + 1, dh.s
+            cols, values, masks, end, dh.s
         )
         return xla_backend.decode_match_bitmap(np.asarray(words), dh.s)
 

@@ -595,15 +595,19 @@ class StreamingScanner:
             from ..needle import probe_program
             from ..ops import xla_backend
 
+            from ..models.huge import HOST_VERIFY_MAX
+
             for _, hs in bs._huge:
                 ps = _prefix_searcher(hs.needle)
                 outs.append(ps._count_device(dh))
                 pk = hs.needle.size
                 values, masks = probe_program(hs.needle.data)
-                outs.append(
-                    xla_backend.match_bitmap_cols(
+                # Sparse-tier candidate decode (compact scan — what
+                # _host_candidates dispatches).
+                outs.extend(
+                    xla_backend.compact_positions(
                         dh.require_cols(), values, masks,
-                        dh.length - pk + 1, dh.s,
+                        dh.length - pk + 1, dh.s, HOST_VERIFY_MAX,
                     )
                 )
                 (cnt, first, words), _dh2 = hs._dense(dh)
