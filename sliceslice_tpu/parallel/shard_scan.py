@@ -446,21 +446,58 @@ def _sharded_bitmap_call(mesh: Mesh, s: int, n_pad: int, t: int):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_compact_call(mesh: Mesh, s: int, n_pad: int, t: int, cap: int):
+    """Sharded sparse-positions compaction: per (needle block, data shard)
+    the compact scan returns each needle's shard-local count and its
+    ``cap`` earliest shard-local offsets — ``cap`` words of readback per
+    (needle, shard) instead of the bitmap's shard/8 bytes.  Same 2-D
+    (data, needle) decomposition as the bitmap call."""
+    from ..ops import xla_backend
+
+    def local_fn(cols_l, vals, msks, ends_l):
+        cnt, pos = xla_backend._compact_positions_batched_impl(
+            cols_l, vals, msks, ends_l.reshape(-1), s, cap
+        )
+        return cnt.reshape(-1, 1), pos.reshape(pos.shape[0], 1, cap)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None, None),
+            P(NEEDLE_AXIS, None),
+            P(NEEDLE_AXIS, None),
+            P(DATA_AXIS, NEEDLE_AXIS),
+        ),
+        out_specs=(
+            P(NEEDLE_AXIS, DATA_AXIS),
+            P(NEEDLE_AXIS, DATA_AXIS, None),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def sharded_positions(
     dh: DeviceHaystack,
     values: np.ndarray,
     masks: np.ndarray,
     ends,
     mesh: Mesh,
+    sparse_cap: int = 4096,
 ) -> list:
     """ALL (overlapping) match offsets per needle over a segment-sharded
     corpus: int64[M] ascending per needle — the sharded ``find_iter``
     capability (single-device analogue: ops/xla_backend.match_bitmap_*).
 
-    Each shard evaluates its local packed bitmap with shard-local clipped
-    ends (exactly-once at boundaries: a match belongs to the shard where its
-    first byte lives); decode happens host-side per shard with the shard's
-    int64 global base, so corpora past 2 GiB report exact offsets.  In a
+    Two-tier like every other positions path (r5): each shard first
+    COMPACTS each needle's matches to its ``sparse_cap`` earliest
+    shard-local offsets (cap words of readback per (needle, shard));
+    (needle, shard) cells whose count exceeds the cap fall back to the
+    per-shard packed bitmap.  Shard-local clipped ends keep matches
+    exactly-once at boundaries; offsets combine with the shard's int64
+    global base, so corpora past 2 GiB report exact offsets.  In a
     multi-process run each process decodes only its addressable shards
     (callers gather across hosts if a global list is needed)."""
     if not dh.tiled:
@@ -506,7 +543,6 @@ def sharded_positions(
     ).astype(np.int32)
     ends2d[:, n:] = 0
 
-    run = _sharded_bitmap_call(mesh, dh.s, n_pad, t)
     cols = jax.device_put(cols, corpus_sharding(mesh))
     vals_d = jax.device_put(
         jnp.asarray(values), NamedSharding(mesh, P(NEEDLE_AXIS, None))
@@ -517,29 +553,84 @@ def sharded_positions(
     ends_d = jax.device_put(
         ends2d, NamedSharding(mesh, P(DATA_AXIS, NEEDLE_AXIS))
     )
-    words = run(cols, vals_d, msks_d, ends_d)  # (n_pad, g_pad, s/32, 128)
+    g_local = g_pad // n_data
 
     parts: dict[int, list] = {i: [] for i in range(n)}
-    g_local = g_pad // n_data
-    # Decode each distinct (needle block, data shard) block once.
+    dense: set[tuple[int, int]] = set()  # (needle, shard) over-cap cells
+
+    # --- sparse tier: compacted per-(needle, shard) offsets ---------------
+    runc = _sharded_compact_call(mesh, dh.s, n_pad, t, int(sparse_cap))
+    counts, pos = runc(cols, vals_d, msks_d, ends_d)
+    # counts (n_pad, n_data); pos (n_pad, n_data, cap) — read per
+    # addressable shard (each process handles only its own blocks).
     seen: set[tuple[int, int]] = set()
-    for shard in sorted(
-        words.addressable_shards,
-        key=lambda sh: (sh.index[0].start or 0, sh.index[1].start or 0),
-    ):
+    sparse_cells: dict[tuple[int, int], np.ndarray] = {}
+    for shard in pos.addressable_shards:
         i0 = shard.index[0].start or 0
-        g0 = shard.index[1].start or 0
-        if (i0, g0) in seen:
+        d0 = shard.index[1].start or 0
+        if (i0, d0) in seen:
             continue
-        seen.add((i0, g0))
-        wi = np.asarray(shard.data)  # (n_local, g_local, s/32, 128)
-        base = (g0 // g_local) * shard_bytes
-        for j in range(wi.shape[0]):
+        seen.add((i0, d0))
+        pi = np.asarray(shard.data)  # (n_local, d_local, cap)
+        for j in range(pi.shape[0]):
             if i0 + j >= n:
-                break  # padded needle rows
-            local = xla_backend.decode_match_bitmap(wi[j], dh.s)
-            if local.size:
-                parts[i0 + j].append(local + base)
+                break
+            for dd in range(pi.shape[1]):
+                sparse_cells[(i0 + j, d0 + dd)] = pi[j, dd]
+    cnt_host: dict[tuple[int, int], int] = {}
+    seen.clear()
+    for shard in counts.addressable_shards:
+        i0 = shard.index[0].start or 0
+        d0 = shard.index[1].start or 0
+        if (i0, d0) in seen:
+            continue
+        seen.add((i0, d0))
+        ci = np.asarray(shard.data)
+        for j in range(ci.shape[0]):
+            if i0 + j >= n:
+                break
+            for dd in range(ci.shape[1]):
+                cnt_host[(i0 + j, d0 + dd)] = int(ci[j, dd])
+    shard_cells: dict[int, list] = {i: [] for i in range(n)}
+    for (i, d), c in cnt_host.items():
+        if c > sparse_cap:
+            dense.add((i, d))
+            continue
+        if c:
+            cell = sparse_cells[(i, d)][:c].astype(np.int64)
+            shard_cells[i].append((d, cell + d * shard_bytes))
+
+    # --- dense tier: per-shard bitmap for over-cap cells ------------------
+    if dense:
+        run = _sharded_bitmap_call(mesh, dh.s, n_pad, t)
+        words = run(cols, vals_d, msks_d, ends_d)
+        seen.clear()
+        for shard in sorted(
+            words.addressable_shards,
+            key=lambda sh: (sh.index[0].start or 0, sh.index[1].start or 0),
+        ):
+            i0 = shard.index[0].start or 0
+            g0 = shard.index[1].start or 0
+            if (i0, g0) in seen:
+                continue
+            seen.add((i0, g0))
+            d = g0 // g_local
+            rows = [
+                j for j in range(min(shard.data.shape[0], n - i0))
+                if (i0 + j, d) in dense
+            ]
+            if not rows:
+                continue
+            wi = np.asarray(shard.data)  # (n_local, g_local, s/32, 128)
+            base = d * shard_bytes
+            for j in rows:
+                local = xla_backend.decode_match_bitmap(wi[j], dh.s)
+                shard_cells[i0 + j].append((d, local + base))
+
+    for i in range(n):
+        for _, cell in sorted(shard_cells[i], key=lambda x: x[0]):
+            if cell.size:
+                parts[i].append(cell)
     return [
         np.concatenate(parts[i]) if parts[i] else np.empty((0,), np.int64)
         for i in range(n)

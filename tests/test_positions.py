@@ -148,3 +148,46 @@ def test_compact_positions_cap_edges(rng):
     # Sanity on the tier split: XYZ! had exactly cap matches (compact),
     # QRS? one more (bitmap fallback) — both exact above.
     assert len(got[0]) == cap and len(got[1]) == cap + 1
+
+
+def test_compact_vs_bitmap_differential(rng):
+    """Randomized differential: the compact tier agrees with the bitmap
+    decode for random content, needle widths, ends clamps, and caps."""
+    from sliceslice_tpu.needle import build_probe_table
+    from sliceslice_tpu.ops import xla_backend
+    from sliceslice_tpu.ops.layout import preprocess
+
+    for trial in range(6):
+        n_bytes = int(rng.integers(20_000, 120_000))
+        lo, hi = (97, 101) if trial % 2 else (0, 256)
+        hay = bytes(rng.integers(lo, hi, (n_bytes,), dtype=np.uint8))
+        dh = preprocess(hay, force_cols=True)
+        needles = []
+        for _ in range(5):
+            k = int(rng.integers(2, 20))
+            o = int(rng.integers(0, n_bytes - k))
+            needles.append(hay[o : o + k])
+        needles.append(b"\xff\x00ABSENT")
+        vals, msks, lens = build_probe_table(needles)
+        ends = np.maximum(dh.length - lens + 1, 0)
+        if trial == 3:  # caller-clamped ends (streaming window clamp)
+            ends = np.minimum(ends, n_bytes // 2)
+        cap = int(rng.integers(4, 600))
+        cnt, pos = xla_backend.compact_positions_batched(
+            dh.require_cols(), vals, msks, ends, dh.s, cap
+        )
+        cnt = np.asarray(cnt)
+        pos = np.asarray(pos)
+        words = np.asarray(
+            xla_backend.match_bitmap_batched(
+                dh.require_cols(), vals, msks,
+                np.asarray(ends, np.int32), dh.s,
+            )
+        )
+        for j in range(len(needles)):
+            exp = xla_backend.decode_match_bitmap(words[j], dh.s)
+            assert int(cnt[j]) == exp.size, (trial, needles[j][:8])
+            take = min(cap, exp.size)
+            assert list(pos[j][:take]) == list(exp[:take]), (
+                trial, needles[j][:8]
+            )

@@ -368,3 +368,33 @@ def test_sharded_huge_dense_local_layout_cached(corpus, monkeypatch):
     assert int(sb.count_all(gc)[0]) == exp
     assert int(sb.find_all(gc)[0]) == hay.find(nd)
     assert len(calls) == first, "repeated dense query re-laid out the corpus"
+
+
+def test_sharded_positions_two_tier_cap_split(corpus):
+    """Sharded positions: sparse (needle, shard) cells ride the compact
+    tier, over-cap cells fall back to the per-shard bitmap — exact parity
+    either way, including a needle dense in one shard and absent in
+    others."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from sliceslice_tpu.needle import build_probe_table
+    from sliceslice_tpu.parallel import make_mesh
+    from sliceslice_tpu.parallel.shard_scan import sharded_positions
+    from sliceslice_tpu.searcher import _host_positions
+
+    mesh = make_mesh((4, 2))
+    hay = bytearray(corpus[:200_000])
+    # Dense cluster early (lands in shard 0): 40 occurrences of "ZZZQ".
+    for i in range(40):
+        p = 100 + i * 37  # overlapping-free, within one shard
+        hay[p : p + 4] = b"ZZZQ"
+    hay = bytes(hay)
+    dh = preprocess(hay, force_cols=True, seg_rows=64)
+    needles = [b"ZZZQ", hay[150_000 : 150_009], b"NOPE!", hay[0:2]]
+    vals, msks, lens = build_probe_table(needles)
+    ends = np.maximum(dh.length - lens + 1, 0)
+    got = sharded_positions(dh, vals, msks, ends, mesh, sparse_cap=8)
+    for nd, gpos in zip(needles, got):
+        assert np.array_equal(gpos, _host_positions(hay, nd)), nd
