@@ -182,13 +182,22 @@ class HugeNeedleSearcher(SearcherBase):
             )
         return self._chunk_plan_cache
 
-    def _route(self, dh: Optional[DeviceHaystack], data: Optional[bytes]):
-        """('empty'|'host'|'dense', payload) — the three-tier decision."""
+    def _route(
+        self,
+        dh: Optional[DeviceHaystack],
+        data: Optional[bytes],
+        ncand: Optional[int] = None,
+    ):
+        """('empty'|'host'|'dense', payload) — the three-tier decision.
+        ``ncand``: precomputed device candidate count (streaming batches
+        ONE prefix-count scan + readback across all huge needles per
+        window instead of one per needle)."""
         if dh is None:
             return "hostscan", data
         if dh.length < len(self._full):
             return "empty", None
-        ncand = self._candidate_count(dh)
+        if ncand is None:
+            ncand = self._candidate_count(dh)
         if ncand == 0:
             return "empty", None
         if ncand <= HOST_VERIFY_MAX and data is not None:
@@ -199,7 +208,16 @@ class HugeNeedleSearcher(SearcherBase):
 
     def find(self, hay: HaystackLike) -> Optional[int]:
         dh, data = self._as_layout(hay)
-        tier, payload = self._route(dh, data)
+        return self._find_tiers(dh, data, self._route(dh, data))
+
+    def find_with_candidates(self, dh: DeviceHaystack, ncand: int):
+        """``find`` over a tiled layout with the prefix-candidate count
+        already known (streaming's batched filter)."""
+        data = dh.host_bytes
+        return self._find_tiers(dh, data, self._route(dh, data, ncand))
+
+    def _find_tiers(self, dh, data, route) -> Optional[int]:
+        tier, payload = route
         if tier == "empty":
             return None
         if tier == "hostscan":
@@ -219,7 +237,14 @@ class HugeNeedleSearcher(SearcherBase):
 
     def count_in(self, hay: HaystackLike) -> int:
         dh, data = self._as_layout(hay)
-        tier, payload = self._route(dh, data)
+        return self._count_tiers(dh, data, self._route(dh, data))
+
+    def count_with_candidates(self, dh: DeviceHaystack, ncand: int) -> int:
+        data = dh.host_bytes
+        return self._count_tiers(dh, data, self._route(dh, data, ncand))
+
+    def _count_tiers(self, dh, data, route) -> int:
+        tier, payload = route
         if tier == "empty":
             return 0
         if tier == "hostscan":
@@ -236,7 +261,16 @@ class HugeNeedleSearcher(SearcherBase):
 
     def positions(self, hay: HaystackLike) -> np.ndarray:
         dh, data = self._as_layout(hay)
-        tier, payload = self._route(dh, data)
+        return self._positions_tiers(dh, data, self._route(dh, data))
+
+    def positions_with_candidates(
+        self, dh: DeviceHaystack, ncand: int
+    ) -> np.ndarray:
+        data = dh.host_bytes
+        return self._positions_tiers(dh, data, self._route(dh, data, ncand))
+
+    def _positions_tiers(self, dh, data, route) -> np.ndarray:
+        tier, payload = route
         if tier == "empty":
             return np.empty((0,), np.int64)
         if tier == "hostscan":

@@ -237,6 +237,32 @@ class StreamingScanner:
 
             # The huge-needle device filter probes a PREFIX_LEN-byte prefix.
             self._kh = max(self._kh, PREFIX_LEN - 1)
+        if bs._huge:
+            # ONE batched prefix-filter table over all huge needles: each
+            # window runs a single count scan + a single readback for the
+            # tier decisions, instead of one scan + readback per needle.
+            from ..models.batched import _Group
+            from ..models.huge import PREFIX_LEN as _PL
+
+            self._huge_prefix_grp = _Group(
+                np.arange(len(bs._huge), dtype=np.int64),
+                [hs.needle.data for _, hs in bs._huge],
+                16,
+            )
+            self._huge_slot = {
+                i: k for k, (i, _) in enumerate(bs._huge)
+            }
+            self._huge_pref_ends = jnp.asarray(
+                self._huge_prefix_grp.pad_ends(
+                    np.full(
+                        (len(bs._huge),),
+                        max(self.window + self.overlap - _PL + 1, 0),
+                        np.int32,
+                    )
+                )
+            )
+        else:
+            self._huge_prefix_grp = None
         from ..ops.layout import SHORT_HAY_BYTES, padded_total
 
         #: window host buffers are allocated at the layout's padded total,
@@ -591,15 +617,22 @@ class StreamingScanner:
         # mid-stream Mosaic compile.  The tier DECISION itself reads one
         # scalar per window at stream time (inherent to the design).
         if bs._huge and dh.tiled:
-            from ..models.huge import _prefix_searcher
             from ..needle import probe_program
             from ..ops import xla_backend
 
             from ..models.huge import HOST_VERIFY_MAX
 
+            # Batched per-window prefix filter (one scan for all huge
+            # needles — what the streams dispatch).
+            grp = self._huge_prefix_grp
+            outs.append(
+                scan_kernel.batched_count_cols(
+                    None, grp.values_dev, grp.masks_dev,
+                    self._huge_pref_ends, s=dh.s, pw=dh.windows(),
+                    n_real=grp.n,
+                )
+            )
             for _, hs in bs._huge:
-                ps = _prefix_searcher(hs.needle)
-                outs.append(ps._count_device(dh))
                 pk = hs.needle.size
                 values, masks = probe_program(hs.needle.data)
                 # Sparse-tier candidate decode (compact scan — what
@@ -903,13 +936,34 @@ class StreamingScanner:
             for g, e in zip(self.batched.groups, ends)
         )
 
+    def _huge_prefix_counts(self, dh):
+        """Per-window prefix-candidate counts for ALL huge needles: one
+        batched scan, one small readback (int32[H]) — the per-window tier
+        decisions for every needle at the cost one needle used to pay."""
+        grp = self._huge_prefix_grp
+        out = scan_kernel.batched_count_cols(
+            None, grp.values_dev, grp.masks_dev, self._huge_pref_ends,
+            s=dh.s, pw=dh.windows(), n_real=grp.n,
+        )
+        return np.asarray(out)[: grp.n]
+
     def _fold_huge_find(
         self, best, dh, wlen: int, base: int, is_last: bool
     ) -> None:
-        for i, hs in self.batched._huge:
-            if best[i] >= 0:
-                continue
-            p = hs.find(dh)
+        bs = self.batched
+        pending = [(i, hs) for i, hs in bs._huge if best[i] < 0]
+        if not pending:
+            return
+        batched = dh.tiled and self.mesh is None
+        cnts = self._huge_prefix_counts(dh) if batched else None
+        for i, hs in pending:
+            if cnts is not None:
+                nc = int(cnts[self._huge_slot[i]])
+                if nc == 0:
+                    continue  # prefix absent -> needle absent in window
+                p = hs.find_with_candidates(dh, nc)
+            else:
+                p = hs.find(dh)
             if p is not None and p < self._end_h(hs.size, wlen, is_last):
                 best[i] = base + p
 
@@ -927,9 +981,19 @@ class StreamingScanner:
         self._reset_stats("count")
         for dh, wlen, is_last in self._ingest(windows, need_cols=False):
             tw0 = time.perf_counter()
+            hcnts = (
+                self._huge_prefix_counts(dh)
+                if bs._huge and dh.tiled and self.mesh is None else None
+            )
             for i, hs in bs._huge:
+                if hcnts is not None:
+                    nc = int(hcnts[self._huge_slot[i]])
+                    if nc == 0:
+                        continue
+                    pos = hs.positions_with_candidates(dh, nc)
+                else:
+                    pos = hs.positions(dh)
                 end_h = self._end_h(hs.size, wlen, is_last)
-                pos = hs.positions(dh)
                 totals[i] += int((pos < end_h).sum())
             if bs.groups:
                 if self.mesh is None and dh.tiled:
@@ -1175,9 +1239,19 @@ class StreamingScanner:
             tw0 = time.perf_counter()
             self.stats["windows"] += 1
             self.stats["bytes"] += wlen
+            hcnts = (
+                self._huge_prefix_counts(dh)
+                if bs._huge and dh.tiled and self.mesh is None else None
+            )
             for i, hs in bs._huge:
+                if hcnts is not None:
+                    nc = int(hcnts[self._huge_slot[i]])
+                    if nc == 0:
+                        continue
+                    pos = hs.positions_with_candidates(dh, nc)
+                else:
+                    pos = hs.positions(dh)
                 end_h = self._end_h(hs.size, wlen, is_last)
-                pos = hs.positions(dh)
                 pos = pos[pos < end_h]
                 if pos.size:
                     out[i].append(pos + base)
