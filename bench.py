@@ -52,7 +52,10 @@ def kernel_times(bs, dh, K: int = 32) -> dict:
                 fn()
             fn().block_until_ready()
 
-        return round(1e3 * measure(run, warmup=1, samples=3).low / K, 4)
+        # samples=5: the per-kernel rows showed run-to-run swings of 2-3x
+        # with 3 samples on this shared transport; five lows stabilize the
+        # recorded attribution table (~+1 min of bench wall).
+        return round(1e3 * measure(run, warmup=1, samples=5).low / K, 4)
 
     for g in bs.groups:
         e = g.ends_dev(dh.length)

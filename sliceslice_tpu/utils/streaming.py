@@ -1056,16 +1056,17 @@ class StreamingScanner:
                     end_local, self.mesh, assume_homogeneous=True,
                 )
             else:
-                local = jnp.asarray(
+                # Flat tiny windows: host counts stay host-side (no
+                # pointless device round trip before the host fold).
+                local = np.asarray(
                     [
                         _host_count_limited(dh.host_bytes, nd, int(e))
                         for nd, e in zip(
                             [bs.needles[i] for i in grp.indices],
                             end_local,
                         )
-                    ]
-                    + [0] * (grp.n_pad - grp.n),
-                    jnp.int32,
+                    ],
+                    np.int64,
                 )
             parts.append(local)
             blobs.append(grp.indices.tobytes())
