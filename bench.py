@@ -275,6 +275,18 @@ def main():
         conf_path = conformance.write_artifact(conf)
         print(f"conformance -> {conf_path}: {conf}", file=sys.stderr)
         detail["round"] = round_no
+        dpath = os.path.join(REPO, f"BENCH_DETAIL_r{round_no:02d}.json")
+        if conf["long_mismatches"] or conf["short_mismatches"]:
+            # Record the failed run's detail for debugging, but with NO
+            # embedded headline and NO README/svg regeneration — a failed
+            # round must never publish its numbers as official.
+            with open(dpath, "w") as f:
+                json.dump(detail, f, indent=1)
+                f.write("\n")
+            print(json.dumps({"metric": "FAILED_FULL_CONFORMANCE",
+                              "value": 0.0, "unit": "GB/s",
+                              "vs_baseline": 0.0}))
+            sys.exit(1)
         # Embedded headline: the README/svg generators read the newest
         # DETAIL artifact, so the table can regenerate from this round's
         # numbers before the driver records BENCH_rNN.json.
@@ -286,7 +298,6 @@ def main():
                 _v / ((4585 * 857425) / REFERENCE_SWEEP_S / 1e9), 3
             ),
         }
-        dpath = os.path.join(REPO, f"BENCH_DETAIL_r{round_no:02d}.json")
         with open(dpath, "w") as f:
             json.dump(detail, f, indent=1)
             f.write("\n")
@@ -304,11 +315,6 @@ def main():
             print("README + benchmarks.svg regenerated", file=sys.stderr)
         except Exception as e:  # pragma: no cover
             print(f"headline regeneration failed: {e!r}", file=sys.stderr)
-        if conf["long_mismatches"] or conf["short_mismatches"]:
-            print(json.dumps({"metric": "FAILED_FULL_CONFORMANCE",
-                              "value": 0.0, "unit": "GB/s",
-                              "vs_baseline": 0.0}))
-            sys.exit(1)
 
     value = m.gbps("estimate")
     reference_gbps = (4585 * 857425) / REFERENCE_SWEEP_S / 1e9

@@ -499,7 +499,10 @@ class BatchedSearcher:
         self._epoch += 1
 
     def positions_all(
-        self, hay: HaystackLike, batch: int = 16, sparse_cap: int = 4096
+        self,
+        hay: HaystackLike,
+        batch: int = 16,
+        sparse_cap: int = xla_backend.SPARSE_POSITIONS_CAP,
     ) -> List[np.ndarray]:
         """ALL (overlapping) match offsets per needle, in input order —
         the batched ``find_iter`` capability.  Adaptive two-tier scan:
@@ -528,34 +531,16 @@ class BatchedSearcher:
             msks = g.masks_host   # device->host table readback per call
             ends = np.maximum(dh.length - g.lengths + 1, 0).astype(np.int32)
             for i0 in range(0, g.n, batch):
-                vs = vals[i0 : i0 + batch]
-                ms = msks[i0 : i0 + batch]
-                es = ends[i0 : i0 + batch]
-                cnt, pos = xla_backend.compact_positions_batched(
-                    cols, vs, ms, es, dh.s, sparse_cap
+                res = xla_backend.two_tier_positions(
+                    cols,
+                    vals[i0 : i0 + batch],
+                    msks[i0 : i0 + batch],
+                    ends[i0 : i0 + batch],
+                    dh.s,
+                    sparse_cap,
                 )
-                cnt = np.asarray(cnt)
-                pos = np.asarray(pos)
-                dense = []
-                for j in range(len(vs)):
-                    if cnt[j] <= sparse_cap:
-                        out[g.indices[i0 + j]] = pos[j, : cnt[j]].astype(
-                            np.int64
-                        )
-                    else:
-                        dense.append(j)
-                if dense:
-                    # Dense rows: the bitmap tier (readback-bound, exact).
-                    dj = np.asarray(dense)
-                    words = np.asarray(
-                        xla_backend.match_bitmap_batched(
-                            cols, vs[dj], ms[dj], es[dj], dh.s
-                        )
-                    )
-                    for k, j in enumerate(dense):
-                        out[g.indices[i0 + j]] = (
-                            xla_backend.decode_match_bitmap(words[k], dh.s)
-                        )
+                for j, p in enumerate(res):
+                    out[g.indices[i0 + j]] = p
         for i, hs in self._huge:
             out[i] = hs.positions(dh)
         return out  # type: ignore[return-value]

@@ -261,6 +261,38 @@ def compact_positions_batched(cols, values, masks, ends, s: int, cap: int):
     )
 
 
+#: Default sparse-positions budget shared by every two-tier positions
+#: path (single-needle, batched, streaming, sharded cells).
+SPARSE_POSITIONS_CAP = 4096
+
+
+def two_tier_positions(cols, values, masks, ends, s: int, cap: int) -> list:
+    """The shared two-tier all-positions protocol over one batch: compact
+    scan first (``cap`` words of readback per needle); rows whose device
+    count exceeds the cap re-decode from the packed bitmap of the FULL
+    batch — the full-batch shape is what warmups compile, so a dense
+    needle never pays a mid-batch jit of a subset shape.  Returns a list
+    of int64 ascending offset arrays, one per needle row."""
+    import numpy as np
+
+    es = np.asarray(ends, np.int32)
+    cnt, pos = compact_positions_batched(cols, values, masks, es, s, cap)
+    cnt = np.asarray(cnt)
+    pos = np.asarray(pos)
+    out: list = [None] * len(values)
+    dense = [j for j in range(len(values)) if cnt[j] > cap]
+    for j in range(len(values)):
+        if cnt[j] <= cap:
+            out[j] = pos[j, : cnt[j]].astype(np.int64)
+    if dense:
+        words = np.asarray(
+            match_bitmap_batched(cols, values, masks, es, s)
+        )
+        for j in dense:
+            out[j] = decode_match_bitmap(words[j], s)
+    return out
+
+
 def decode_match_bitmap(words: "np.ndarray", s: int) -> "np.ndarray":
     """Decode :func:`match_bitmap_cols` output to sorted match offsets
     (int64[M], ascending).  Prefers the native C++ decoder (popcount-sized

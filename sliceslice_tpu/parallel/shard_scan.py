@@ -485,7 +485,7 @@ def sharded_positions(
     masks: np.ndarray,
     ends,
     mesh: Mesh,
-    sparse_cap: int = 4096,
+    sparse_cap: int | None = None,
 ) -> list:
     """ALL (overlapping) match offsets per needle over a segment-sharded
     corpus: int64[M] ascending per needle — the sharded ``find_iter``
@@ -503,6 +503,9 @@ def sharded_positions(
     if not dh.tiled:
         raise ValueError("sharded positions require a tiled (cols) layout")
     from ..ops import xla_backend
+
+    if sparse_cap is None:
+        sparse_cap = xla_backend.SPARSE_POSITIONS_CAP
 
     cols = dh.require_cols()
     g = cols.shape[0]
@@ -600,8 +603,16 @@ def sharded_positions(
             cell = sparse_cells[(i, d)][:c].astype(np.int64)
             shard_cells[i].append((d, cell + d * shard_bytes))
 
+    # Multi-controller alignment: the dense-tier DISPATCH must run on
+    # every process or none (jit over globally-sharded arrays is SPMD) —
+    # decide from the GLOBAL counts, which every process reduces
+    # identically, never from process-local addressable cells.
+    any_dense = bool(
+        np.asarray(jax.jit(lambda c: jnp.any(c > sparse_cap))(counts))
+    )
+
     # --- dense tier: per-shard bitmap for over-cap cells ------------------
-    if dense:
+    if any_dense:
         run = _sharded_bitmap_call(mesh, dh.s, n_pad, t)
         words = run(cols, vals_d, msks_d, ends_d)
         seen.clear()

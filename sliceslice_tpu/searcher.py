@@ -169,7 +169,7 @@ class SearcherBase:
         # Two-tier: device-compacted earliest offsets for sparse needles
         # (cap words of readback), exact packed-bitmap decode (corpus/8
         # bytes) when the device count exceeds the cap.
-        cap = 4096
+        cap = xla_backend.SPARSE_POSITIONS_CAP
         cnt, pos = xla_backend.compact_positions(
             cols, values, masks, end, dh.s, cap
         )

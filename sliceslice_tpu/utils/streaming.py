@@ -54,6 +54,7 @@ from ..models.batched import BatchedSearcher
 from ..ops import scan_kernel
 from ..ops.layout import preprocess
 from ..ops.scan_math import SENTINEL
+from ..ops.xla_backend import SPARSE_POSITIONS_CAP
 
 
 class _IngestStopped(Exception):
@@ -1288,7 +1289,7 @@ class StreamingScanner:
     #: per-window sparse-positions budget: needles with at most this many
     #: matches in a window read back ``cap`` words instead of the
     #: window/8-byte bitmap (the dominant readback of a positions stream).
-    sparse_cap = 4096
+    sparse_cap = SPARSE_POSITIONS_CAP
 
     def _positions_batch(self, dh, vals, msks, ends) -> list:
         from ..ops import xla_backend
@@ -1296,29 +1297,13 @@ class StreamingScanner:
         if self.mesh is not None:
             from ..parallel.shard_scan import sharded_positions
 
-            return sharded_positions(dh, vals, msks, ends, self.mesh)
-        cols = dh.require_cols()
-        es = np.asarray(ends, np.int32)
-        cnt, pos = xla_backend.compact_positions_batched(
-            cols, vals, msks, es, dh.s, self.sparse_cap
-        )
-        cnt = np.asarray(cnt)
-        pos = np.asarray(pos)
-        out: list = [None] * len(vals)
-        dense = [j for j in range(len(vals)) if cnt[j] > self.sparse_cap]
-        for j in range(len(vals)):
-            if cnt[j] <= self.sparse_cap:
-                out[j] = pos[j, : cnt[j]].astype(np.int64)
-        if dense:
-            dj = np.asarray(dense)
-            words = np.asarray(
-                xla_backend.match_bitmap_batched(
-                    cols, vals[dj], msks[dj], es[dj], dh.s
-                )
+            return sharded_positions(
+                dh, vals, msks, ends, self.mesh,
+                sparse_cap=self.sparse_cap,
             )
-            for k, j in enumerate(dense):
-                out[j] = xla_backend.decode_match_bitmap(words[k], dh.s)
-        return out
+        return xla_backend.two_tier_positions(
+            dh.require_cols(), vals, msks, ends, dh.s, self.sparse_cap
+        )
 
     def _fold_counts(self, totals: np.ndarray, pending: List) -> None:
         for arr in pending:
