@@ -1203,10 +1203,10 @@ class StreamingScanner:
         return self._merge_parts(parts, blobs, absent=-1)
 
     def _all_found(self, best: np.ndarray, best_w) -> bool:
-        """Early-stop check.  Reads the device accumulator (a small
-        readback; on transports where the first data readback drops bulk
-        bandwidth — see _count_fold64 — this is the documented cost of
-        early_stop=True)."""
+        """Early-stop check.  Reads the device accumulator — a small
+        per-cadence readback (one RTT; on staging transports it also
+        forces a wire flush of queued windows, the documented cost of
+        early_stop=True — docs/DESIGN.md transport model)."""
         if best_w is None:
             return bool((best >= 0).all())
         found_dev = np.asarray(best_w) < SENTINEL
