@@ -212,7 +212,7 @@ def backend_is_tpu() -> bool:
     return p.stdout.strip().splitlines()[-1:] == ["tpu"]
 
 
-def run(long_bytes: int, fast: bool = False) -> dict:
+def run(long_bytes: int, fast: bool = False, phase_budget_s: int = 1500) -> dict:
     if not backend_is_tpu():
         return {"skipped": "not on tpu"}
     short = 256 << 20
@@ -223,14 +223,33 @@ def run(long_bytes: int, fast: bool = False) -> dict:
         "its stream to a time budget at that rate; children serialized, "
         "parent never touches the device)",
     }
+    t0 = time.perf_counter()
+
+    def within_budget(key):
+        # Terrible weather degrades to a partial-but-honest record
+        # instead of blowing the whole bench's wall budget.
+        if time.perf_counter() - t0 < phase_budget_s:
+            return True
+        res[key] = {"skipped": "phase time budget exhausted"}
+        return False
+
     res["find_long"] = _spawn("find", long_bytes)
-    res["count_long"] = _spawn("count", long_bytes if not fast else short)
-    shorts = [_spawn("find", short) for _ in range(1 if fast else 2)]
-    res["find_short"] = shorts
+    if within_budget("count_long"):
+        res["count_long"] = _spawn(
+            "count", long_bytes if not fast else short
+        )
+    shorts = []
+    for _ in range(1 if fast else 2):
+        if not within_budget("find_short"):
+            break
+        shorts.append(_spawn("find", short))
+    if shorts:
+        res["find_short"] = shorts
     ok_short = [s["gbps"] for s in shorts if "gbps" in s]
     if ok_short:
         res["find_short_best_gbps"] = max(ok_short)
-    res["positions_small"] = _spawn("positions", 64 << 20)
+    if within_budget("positions_small"):
+        res["positions_small"] = _spawn("positions", 64 << 20)
     fl = res["find_long"]
     if "gbps" in fl and fl.get("link_wire_mbps"):
         # Fraction of the same-child measured WIRE ingest ceiling the
